@@ -1,0 +1,342 @@
+"""The pipeline engine: batches frames, runs one XLA program per batch.
+
+TPU-native redesign of TurboMetrics (turbo-metrics/src/lib.rs:188-434).
+Where the reference juggles 5 CUDA streams and a CUDA graph per frame pair,
+this engine converts both frames to linear RGB and computes every requested
+metric inside a single jitted program over a whole batch of frame pairs —
+XLA is the graph and the scheduler.  Only per-frame scalars come back to the
+host; the 108-weight SSIMULACRA2 post-processing runs on host in f64.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turbo_metrics_tpu.color.characteristics import (
+    ColorCharacteristics,
+    matrix_name,
+    transfer_name,
+)
+from turbo_metrics_tpu.io.frame_source import FrameSource, RawFrame
+from turbo_metrics_tpu.models.ssimulacra2 import ssimulacra2_subscores
+from turbo_metrics_tpu.models.ssimulacra2_score import postprocess_score
+from turbo_metrics_tpu.ops import colorspace, quality
+from turbo_metrics_tpu.ops.downscale import scale_dims
+
+log = logging.getLogger("turbo_metrics_tpu")
+
+
+@dataclass
+class Metrics:
+    """Metric selection (turbo-metrics/src/lib.rs:27-37, extended)."""
+
+    psnr: bool = False
+    ssim: bool = False
+    msssim: bool = False
+    ssimulacra2: bool = False
+
+    def any(self) -> bool:
+        return self.psnr or self.ssim or self.msssim or self.ssimulacra2
+
+
+@dataclass
+class Options:
+    """Frame-subsetting options (turbo-metrics/src/lib.rs:39-54)."""
+
+    every: int = 0
+    skip: int = 0
+    skip_ref: int = 0
+    skip_dis: int = 0
+    frames: int = 0
+
+
+@dataclass
+class FrameScores:
+    psnr: Optional[float] = None
+    ssim: Optional[float] = None
+    msssim: Optional[float] = None
+    ssimulacra2: Optional[float] = None
+
+    def to_dict(self) -> dict:
+        return {k: v for k, v in self.__dict__.items() if v is not None}
+
+
+@dataclass
+class MetricAggregate:
+    scores: list[float]
+    stats: "Stats"
+
+
+@dataclass
+class MetricsResults:
+    frame_count: int
+    psnr: Optional[MetricAggregate] = None
+    ssim: Optional[MetricAggregate] = None
+    msssim: Optional[MetricAggregate] = None
+    ssimulacra2: Optional[MetricAggregate] = None
+
+
+from turbo_metrics_tpu.utils.stats import Stats  # noqa: E402  (dataclass ref above)
+
+
+def _aggregate(scores: Optional[list[float]]) -> Optional[MetricAggregate]:
+    if scores is None:
+        return None
+    return MetricAggregate(scores=scores, stats=Stats.compute(scores))
+
+
+# --------------------------------------------------------------------------
+# Conversion specs (static jit arguments)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ConvertSpec:
+    """Static description of an input frame format -> linear RGB conversion."""
+
+    kind: str  # 'yuv420' | 'rgb'
+    depth: int
+    matrix: str
+    transfer: str
+    full_range: bool
+
+    @classmethod
+    def for_frame(
+        cls, frame: RawFrame, cc: ColorCharacteristics, crange: str
+    ) -> "ConvertSpec":
+        if frame.kind == "rgb":
+            # Packed RGB sources are gamma sRGB, like the reference's image
+            # path (turbo-metrics/src/color.rs:112-114).
+            return cls("rgb", frame.depth, "identity", "srgb", True)
+        return cls(
+            "yuv420",
+            frame.depth,
+            matrix_name(cc),
+            transfer_name(cc),
+            crange == "full",
+        )
+
+
+def _convert_to_linear(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.Array:
+    """Dispatch on static spec (turbo-metrics/src/color.rs:96-116)."""
+    if spec.kind == "yuv420":
+        y, uv = arrays
+        return colorspace.yuv420_to_linear_rgb(
+            y,
+            uv,
+            depth=spec.depth,
+            matrix=spec.matrix,
+            transfer=spec.transfer,
+            full_range=spec.full_range,
+        )
+    (rgb,) = arrays  # (B, H, W, 3) -> (B, 3, H, W)
+    rgb = jnp.transpose(rgb, (0, 3, 1, 2))
+    if spec.transfer == "linear":
+        return rgb.astype(jnp.float32)
+    return colorspace.srgb_to_linear(rgb, depth=spec.depth)
+
+
+# --------------------------------------------------------------------------
+# Engine
+# --------------------------------------------------------------------------
+
+class TurboMetrics:
+    """Per-resolution metric engine; compiles one XLA program per
+    (input format pair, batch size) and replays it for every batch."""
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        metrics: Metrics,
+        *,
+        batch: int | None = None,
+    ):
+        if not metrics.any():
+            raise ValueError("at least one metric must be selected")
+        self.width = int(width)
+        self.height = int(height)
+        self.metrics = metrics
+        self.batch = batch if batch is not None else default_batch(width, height)
+        self.num_scales = len(scale_dims(self.height, self.width))
+        self._step_cache: dict = {}
+
+    # -- device program ----------------------------------------------------
+
+    def _get_step(self, spec_ref: ConvertSpec, spec_dis: ConvertSpec):
+        key = (spec_ref, spec_dis)
+        fn = self._step_cache.get(key)
+        if fn is None:
+            metrics = self.metrics
+            num_scales = self.num_scales
+
+            def step(ref_arrays, dis_arrays):
+                lin_ref = _convert_to_linear(spec_ref, ref_arrays)
+                lin_dis = _convert_to_linear(spec_dis, dis_arrays)
+                out = {}
+                if metrics.psnr or metrics.ssim or metrics.msssim:
+                    # Quantize to 8-bit code values, like the reference's
+                    # f32_to_8bit pass before NPP (lib.rs:296-305).
+                    q_ref = jnp.clip(jnp.round(lin_ref * 255.0), 0.0, 255.0)
+                    q_dis = jnp.clip(jnp.round(lin_dis * 255.0), 0.0, 255.0)
+                    if metrics.psnr:
+                        out["psnr"] = quality.psnr(q_ref, q_dis)
+                    if metrics.ssim:
+                        out["ssim"] = quality.ssim(q_ref, q_dis)
+                    if metrics.msssim:
+                        out["msssim"] = quality.msssim(q_ref, q_dis)
+                if metrics.ssimulacra2:
+                    out["ssimulacra2_subscores"] = ssimulacra2_subscores(
+                        lin_ref, lin_dis, num_scales=num_scales
+                    )
+                return out
+
+            fn = jax.jit(step)
+            self._step_cache[key] = fn
+        return fn
+
+    # -- host batching -----------------------------------------------------
+
+    def _stack(self, frames: list[RawFrame]) -> tuple[tuple[np.ndarray, ...], RawFrame]:
+        f0 = frames[0]
+        if f0.kind == "yuv420":
+            y = np.stack([f.y for f in frames])
+            uv = np.stack([f.uv for f in frames])
+            return (y, uv), f0
+        rgb = np.stack([f.rgb for f in frames])
+        return (rgb,), f0
+
+    def compute_frames(
+        self,
+        ref_frames: list[RawFrame],
+        cc_ref: tuple[ColorCharacteristics, str],
+        dis_frames: list[RawFrame],
+        cc_dis: tuple[ColorCharacteristics, str],
+    ) -> list[FrameScores]:
+        """Compute all selected metrics for a batch of frame pairs."""
+        assert len(ref_frames) == len(dis_frames) and ref_frames
+        n = len(ref_frames)
+        ref_arrays, f_ref = self._stack(ref_frames)
+        dis_arrays, f_dis = self._stack(dis_frames)
+        spec_ref = ConvertSpec.for_frame(f_ref, *cc_ref)
+        spec_dis = ConvertSpec.for_frame(f_dis, *cc_dis)
+        step = self._get_step(spec_ref, spec_dis)
+        out = step(ref_arrays, dis_arrays)
+
+        scores = [FrameScores() for _ in range(n)]
+        for name in ("psnr", "ssim", "msssim"):
+            if name in out:
+                vals = np.asarray(out[name], dtype=np.float64)
+                for i in range(n):
+                    setattr(scores[i], name, float(vals[i]))
+        if "ssimulacra2_subscores" in out:
+            vals = np.asarray(out["ssimulacra2_subscores"], dtype=np.float64)
+            s2 = postprocess_score(vals)
+            for i in range(n):
+                scores[i].ssimulacra2 = float(s2[i])
+        return scores
+
+    def compute_one(
+        self,
+        ref_frame: RawFrame,
+        cc_ref: tuple[ColorCharacteristics, str],
+        dis_frame: RawFrame,
+        cc_dis: tuple[ColorCharacteristics, str],
+    ) -> FrameScores:
+        """Single frame-pair API (turbo-metrics/src/lib.rs:268-360)."""
+        return self.compute_frames([ref_frame], cc_ref, [dis_frame], cc_dis)[0]
+
+    # -- full drive loop ----------------------------------------------------
+
+    def compute_all(
+        self,
+        frames_ref: FrameSource,
+        frames_dis: FrameSource,
+        opts: Options = Options(),
+        on_frame: Optional[Callable[[FrameScores], None]] = None,
+    ) -> MetricsResults:
+        """Drive both sources to exhaustion (turbo-metrics/src/lib.rs:362-433).
+
+        Frame subsetting (every/skip/frames) matches the reference's loop
+        semantics exactly.  Pairs are accumulated into batches of
+        ``self.batch`` before dispatch; ``on_frame`` is called per frame pair
+        in order.
+        """
+        if (frames_ref.width, frames_ref.height) != (frames_dis.width, frames_dis.height):
+            raise ValueError("Reference and distorted are not the same size")
+
+        cc_ref = frames_ref.color_characteristics()
+        cc_dis = frames_dis.color_characteristics()
+
+        m = self.metrics
+        acc: dict[str, Optional[list[float]]] = {
+            "psnr": [] if m.psnr else None,
+            "ssim": [] if m.ssim else None,
+            "msssim": [] if m.msssim else None,
+            "ssimulacra2": [] if m.ssimulacra2 else None,
+        }
+
+        frames_ref.skip_frames(opts.skip_ref + opts.skip)
+        frames_dis.skip_frames(opts.skip_dis + opts.skip)
+
+        pend_ref: list[RawFrame] = []
+        pend_dis: list[RawFrame] = []
+        compute_count = 0
+
+        def flush():
+            nonlocal compute_count
+            if not pend_ref:
+                return
+            batch_scores = self.compute_frames(pend_ref, cc_ref, pend_dis, cc_dis)
+            for s in batch_scores:
+                for name, lst in acc.items():
+                    v = getattr(s, name)
+                    if lst is not None and v is not None:
+                        lst.append(v)
+                if on_frame is not None:
+                    on_frame(s)
+            compute_count += len(batch_scores)
+            pend_ref.clear()
+            pend_dis.clear()
+
+        decode_count = 0
+        while True:
+            fref = frames_ref.next_frame()
+            fdis = frames_dis.next_frame()
+            if fref is None or fdis is None:
+                break
+            if opts.every > 1 and decode_count != 0 and decode_count % opts.every != 0:
+                decode_count += 1
+                continue
+            if opts.frames > 0 and decode_count >= opts.frames:
+                break
+            decode_count += 1
+            pend_ref.append(fref)
+            pend_dis.append(fdis)
+            if len(pend_ref) >= self.batch:
+                flush()
+        flush()
+
+        return MetricsResults(
+            frame_count=compute_count,
+            psnr=_aggregate(acc["psnr"]),
+            ssim=_aggregate(acc["ssim"]),
+            msssim=_aggregate(acc["msssim"]),
+            ssimulacra2=_aggregate(acc["ssimulacra2"]),
+        )
+
+
+def default_batch(width: int, height: int) -> int:
+    """Pick a frame batch size that keeps the device busy without blowing HBM.
+
+    Budget ~0.75 GiB of working set at 270 bytes/pixel (the reference's
+    measured SSIMULACRA2 footprint, ssimulacra2-cuda/src/lib.rs:21-24).
+    """
+    per_frame = 270 * width * height
+    budget = 768 << 20
+    return int(np.clip(budget // max(per_frame, 1), 1, 16))
