@@ -1,0 +1,181 @@
+// turbodemux: native demux+decode shim over libavformat/libavcodec.
+//
+// The TPU rebuild's host-side "native" component (the role the reference
+// fills with cudarse-video/NVDEC + codec-bitstream, see SURVEY.md section 7):
+// demux any container, decode on CPU, hand planar YUV + colour metadata to
+// Python through a minimal C ABI (loaded with ctypes).  Frames are copied
+// into caller-provided buffers so Python keeps ownership and can overlap
+// decode with device compute.
+//
+// Build: g++ -O2 -shared -fPIC turbodemux.cpp -o libturbodemux.so \
+//            -lavformat -lavcodec -lavutil
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/pixdesc.h>
+}
+
+#include <cstdint>
+#include <cstring>
+
+struct TmHandle {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* dec = nullptr;
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    int stream_index = -1;
+    int eof = 0;
+};
+
+struct TmInfo {
+    int32_t width;
+    int32_t height;
+    int32_t depth;            // bits per luma sample
+    int32_t chroma;           // 420, 422, 444, or 400 (gray)
+    int32_t color_primaries;  // H.273 code points
+    int32_t color_trc;
+    int32_t color_space;
+    int32_t full_range;       // 0 limited, 1 full, -1 unspecified
+    int64_t frame_count;      // container estimate, 0 if unknown
+    char codec_name[32];
+    char container_name[32];
+};
+
+extern "C" {
+
+TmHandle* tm_open(const char* path) {
+    auto* h = new TmHandle();
+    if (avformat_open_input(&h->fmt, path, nullptr, nullptr) < 0) {
+        delete h;
+        return nullptr;
+    }
+    if (avformat_find_stream_info(h->fmt, nullptr) < 0) {
+        avformat_close_input(&h->fmt);
+        delete h;
+        return nullptr;
+    }
+    const AVCodec* codec = nullptr;
+    h->stream_index =
+        av_find_best_stream(h->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+    if (h->stream_index < 0 || !codec) {
+        avformat_close_input(&h->fmt);
+        delete h;
+        return nullptr;
+    }
+    AVStream* st = h->fmt->streams[h->stream_index];
+    h->dec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(h->dec, st->codecpar);
+    h->dec->thread_count = 0;  // auto
+    if (avcodec_open2(h->dec, codec, nullptr) < 0) {
+        avcodec_free_context(&h->dec);
+        avformat_close_input(&h->fmt);
+        delete h;
+        return nullptr;
+    }
+    h->pkt = av_packet_alloc();
+    h->frame = av_frame_alloc();
+    return h;
+}
+
+int tm_info(TmHandle* h, TmInfo* out) {
+    if (!h || !out) return -1;
+    AVStream* st = h->fmt->streams[h->stream_index];
+    AVCodecParameters* par = st->codecpar;
+    out->width = par->width;
+    out->height = par->height;
+    AVPixelFormat pf = (AVPixelFormat)par->format;
+    if (pf == AV_PIX_FMT_NONE) pf = h->dec->pix_fmt;
+    const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get(pf);
+    out->depth = desc ? desc->comp[0].depth : 8;
+    if (!desc || desc->nb_components == 1) {
+        out->chroma = 400;
+    } else if (desc->log2_chroma_w == 1 && desc->log2_chroma_h == 1) {
+        out->chroma = 420;
+    } else if (desc->log2_chroma_w == 1) {
+        out->chroma = 422;
+    } else {
+        out->chroma = 444;
+    }
+    out->color_primaries = (int32_t)par->color_primaries;
+    out->color_trc = (int32_t)par->color_trc;
+    out->color_space = (int32_t)par->color_space;
+    out->full_range = par->color_range == AVCOL_RANGE_JPEG
+                          ? 1
+                          : (par->color_range == AVCOL_RANGE_MPEG ? 0 : -1);
+    out->frame_count = st->nb_frames;
+    if (!out->frame_count && st->duration > 0 && st->avg_frame_rate.num > 0) {
+        out->frame_count = av_rescale_q(st->duration, st->time_base,
+                                        av_inv_q(st->avg_frame_rate));
+    }
+    snprintf(out->codec_name, sizeof(out->codec_name), "%s",
+             avcodec_get_name(par->codec_id));
+    snprintf(out->container_name, sizeof(out->container_name), "%s",
+             h->fmt->iformat ? h->fmt->iformat->name : "?");
+    return 0;
+}
+
+// Copy a decoded plane into dst (tightly packed, h rows of w samples of
+// `bytes` bytes each).
+static void copy_plane(const uint8_t* src, int src_linesize, uint8_t* dst,
+                       int w, int h, int bytes) {
+    int row = w * bytes;
+    for (int y = 0; y < h; y++) {
+        memcpy(dst + (size_t)y * row, src + (size_t)y * src_linesize, row);
+    }
+}
+
+// Returns 1 on frame, 0 on EOF, <0 on error.  Caller buffers must be sized
+// w*h (luma) and cw*ch (each chroma plane) samples of ceil(depth/8) bytes.
+int tm_next_frame(TmHandle* h, uint8_t* y, uint8_t* u, uint8_t* v) {
+    if (!h) return -1;
+    while (true) {
+        int ret = avcodec_receive_frame(h->dec, h->frame);
+        if (ret == 0) break;
+        if (ret == AVERROR_EOF) return 0;
+        if (ret != AVERROR(EAGAIN)) return -2;
+        if (h->eof) {
+            // flush already sent; drain done
+            return 0;
+        }
+        ret = av_read_frame(h->fmt, h->pkt);
+        if (ret < 0) {
+            h->eof = 1;
+            avcodec_send_packet(h->dec, nullptr);
+            continue;
+        }
+        if (h->pkt->stream_index == h->stream_index) {
+            avcodec_send_packet(h->dec, h->pkt);
+        }
+        av_packet_unref(h->pkt);
+    }
+    AVFrame* f = h->frame;
+    const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get((AVPixelFormat)f->format);
+    int bytes = desc->comp[0].depth > 8 ? 2 : 1;
+    copy_plane(f->data[0], f->linesize[0], y, f->width, f->height, bytes);
+    if (desc->nb_components >= 3) {
+        int cw = AV_CEIL_RSHIFT(f->width, desc->log2_chroma_w);
+        int ch = AV_CEIL_RSHIFT(f->height, desc->log2_chroma_h);
+        copy_plane(f->data[1], f->linesize[1], u, cw, ch, bytes);
+        copy_plane(f->data[2], f->linesize[2], v, cw, ch, bytes);
+    }
+    av_frame_unref(f);
+    return 1;
+}
+
+void tm_close(TmHandle* h) {
+    if (!h) return;
+    av_frame_free(&h->frame);
+    av_packet_free(&h->pkt);
+    avcodec_free_context(&h->dec);
+    avformat_close_input(&h->fmt);
+    delete h;
+}
+
+// Decoder availability probe (e.g. "h264", "av1", "mpeg2video").
+int tm_has_decoder(const char* name) {
+    return avcodec_find_decoder_by_name(name) != nullptr;
+}
+
+}  // extern "C"

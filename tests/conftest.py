@@ -6,8 +6,18 @@ sharding tests use the forced host-platform device count.
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the outer environment (which may pin a real TPU):
+# tests must be fast, deterministic and hardware-independent.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU tunnel's sitecustomize pins jax_platforms directly; override
+# it after import (env alone is not enough in that environment).
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

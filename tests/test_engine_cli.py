@@ -1,0 +1,149 @@
+"""End-to-end engine and CLI tests (config 1 and 2 of BASELINE.json)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_frame_pair
+from tests.test_io import _rand_yuv, _write_y4m
+
+from turbo_metrics_tpu.engine import Metrics, Options, TurboMetrics
+from turbo_metrics_tpu.io.probe import create_source
+
+
+def _smooth_yuv(rng, w, h, shift=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 64 * np.sin(xx / 9 + shift) * np.cos(yy / 7)).astype(np.uint8)
+    u = np.full(((h + 1) // 2, (w + 1) // 2), 120, np.uint8)
+    v = np.full(((h + 1) // 2, (w + 1) // 2), 130, np.uint8)
+    return y, u, v
+
+
+@pytest.fixture
+def y4m_pair(tmp_path, rng):
+    w, h = 64, 48
+    ref_frames = [_smooth_yuv(rng, w, h, i * 0.1) for i in range(6)]
+    dis_frames = [
+        (np.clip(y.astype(np.int16) + rng.integers(-4, 5, y.shape), 0, 255).astype(np.uint8), u, v)
+        for (y, u, v) in ref_frames
+    ]
+    pr, pd = tmp_path / "ref.y4m", tmp_path / "dis.y4m"
+    _write_y4m(pr, ref_frames, w, h)
+    _write_y4m(pd, dis_frames, w, h)
+    return str(pr), str(pd)
+
+
+def test_compute_all_y4m_psnr_ssim(y4m_pair):
+    """Config 2: PSNR + SSIM on raw Y4M, per-frame stats."""
+    ref, dis = y4m_pair
+    src_r, src_d = create_source(ref), create_source(dis)
+    engine = TurboMetrics(src_r.width, src_r.height, Metrics(psnr=True, ssim=True), batch=4)
+    results = engine.compute_all(src_r, src_d)
+    assert results.frame_count == 6
+    assert len(results.psnr.scores) == 6
+    assert all(20 < s < 60 for s in results.psnr.scores), results.psnr.scores
+    assert all(0.5 < s <= 1.0 for s in results.ssim.scores), results.ssim.scores
+    assert results.msssim is None
+    assert results.psnr.stats.min <= results.psnr.stats.mean <= results.psnr.stats.max
+
+
+def test_compute_all_every_skip_frames(y4m_pair):
+    ref, dis = y4m_pair
+    # every=2: frames 0, 2, 4 are computed (reference semantics).
+    r = TurboMetrics(64, 48, Metrics(psnr=True), batch=2).compute_all(
+        create_source(ref), create_source(dis), Options(every=2)
+    )
+    assert r.frame_count == 3
+    # skip=2, frames=2 (note: `frames` counts decode iterations).
+    r = TurboMetrics(64, 48, Metrics(psnr=True), batch=2).compute_all(
+        create_source(ref), create_source(dis), Options(skip=2, frames=2)
+    )
+    assert r.frame_count == 2
+
+
+def test_identical_y4m_psnr_inf(tmp_path, rng):
+    w, h = 32, 32
+    frames = [_rand_yuv(rng, w, h) for _ in range(2)]
+    p = tmp_path / "same.y4m"
+    _write_y4m(p, frames, w, h)
+    engine = TurboMetrics(w, h, Metrics(psnr=True), batch=2)
+    res = engine.compute_all(create_source(p), create_source(p))
+    assert all(np.isinf(s) for s in res.psnr.scores)
+
+
+def test_msssim_sanity(rng):
+    """MS-SSIM of identical = 1; degrades with noise."""
+    ref, dis = make_frame_pair(rng, 192, 256, noise=0.05)
+    engine = TurboMetrics(256, 192, Metrics(msssim=True, ssim=True), batch=1)
+    from turbo_metrics_tpu.io.frame_source import RawFrame
+
+    def as_frame(img):
+        return RawFrame(rgb=(img * 255).astype(np.uint8), depth=8, full_range=True)
+
+    from turbo_metrics_tpu.io.image import SRGB_CHARACTERISTICS
+
+    cc = (SRGB_CHARACTERISTICS, "full")
+    same = engine.compute_one(as_frame(ref), cc, as_frame(ref), cc)
+    diff = engine.compute_one(as_frame(ref), cc, as_frame(dis), cc)
+    assert same.msssim == pytest.approx(1.0, abs=1e-5)
+    assert same.ssim == pytest.approx(1.0, abs=1e-5)
+    assert 0.3 < diff.msssim < same.msssim
+    assert 0.2 < diff.ssim < same.ssim
+
+
+def test_cli_png_pair_json(tmp_path, rng, capsys):
+    """Config 1: SSIMULACRA2 on a PNG pair, one-shot score via the CLI."""
+    from PIL import Image
+
+    from turbo_metrics_tpu.cli import main
+    from turbo_metrics_tpu.refimpl.ssimulacra2 import (
+        compute_ssimulacra2,
+        srgb8_to_linear,
+    )
+
+    ref, dis = make_frame_pair(rng, 40, 56, noise=0.03)
+    ref8 = (np.clip(ref, 0, 1) * 255).astype(np.uint8)
+    dis8 = (np.clip(dis, 0, 1) * 255).astype(np.uint8)
+    pr, pd = tmp_path / "r.png", tmp_path / "d.png"
+    Image.fromarray(ref8).save(pr)
+    Image.fromarray(dis8).save(pd)
+
+    rc = main([str(pr), str(pd), "-m", "ssimulacra2", "--output", "json", "--no-progress"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["frame_count"] == 1
+    got = out["ssimulacra2"]["scores"][0]
+    want = compute_ssimulacra2(srgb8_to_linear(ref8), srgb8_to_linear(dis8))
+    assert got == pytest.approx(want, abs=0.05)
+
+
+def test_cli_csv_and_jsonl(y4m_pair, capsys):
+    from turbo_metrics_tpu.cli import main
+
+    ref, dis = y4m_pair
+    rc = main([ref, dis, "-m", "psnr", "-m", "ssim", "--output", "csv", "--no-progress"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "psnr,ssim"
+    assert len(lines) == 1 + 6 + 1 + 6  # streamed header+rows, final header+rows
+
+    rc = main([ref, dis, "-m", "psnr", "--output", "json-lines", "--no-progress"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 7
+    assert "psnr" in json.loads(lines[0])
+    assert "frame_count" in json.loads(lines[-1])
+
+
+def test_cli_size_mismatch(tmp_path, rng, capsys):
+    from PIL import Image
+
+    from turbo_metrics_tpu.cli import main
+
+    a = (rng.random((20, 30, 3)) * 255).astype(np.uint8)
+    b = (rng.random((24, 30, 3)) * 255).astype(np.uint8)
+    pa, pb = tmp_path / "a.png", tmp_path / "b.png"
+    Image.fromarray(a).save(pa)
+    Image.fromarray(b).save(pb)
+    assert main([str(pa), str(pb), "-m", "psnr", "--no-progress"]) == 1

@@ -1,0 +1,190 @@
+"""IO layer tests: Y4M, IVF, H.264 SPS, MKV demux, native decode, probing."""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from turbo_metrics_tpu.io import h264, ivf
+from turbo_metrics_tpu.io.frame_source import RawFrame
+from turbo_metrics_tpu.io.y4m import Y4MFrameSource
+from turbo_metrics_tpu.utils.stats import Stats
+
+
+def _write_y4m(path, frames_yuv, w, h, depth=8, extra=""):
+    dtype = np.uint8 if depth == 8 else np.uint16
+    cs = "420" if depth == 8 else f"420p{depth}"
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cs}{extra}\n".encode())
+        for y, u, v in frames_yuv:
+            f.write(b"FRAME\n")
+            f.write(y.astype(dtype).tobytes())
+            f.write(u.astype(dtype).tobytes())
+            f.write(v.astype(dtype).tobytes())
+
+
+def _rand_yuv(rng, w, h, depth=8):
+    hi = (1 << depth) - 1
+    y = rng.integers(0, hi, (h, w), dtype=np.uint16)
+    u = rng.integers(0, hi, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint16)
+    v = rng.integers(0, hi, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint16)
+    return y, u, v
+
+
+def test_y4m_roundtrip(tmp_path, rng):
+    w, h = 32, 24
+    frames = [_rand_yuv(rng, w, h) for _ in range(3)]
+    path = tmp_path / "test.y4m"
+    _write_y4m(path, frames, w, h)
+    src = Y4MFrameSource(open(path, "rb"), path=str(path))
+    assert (src.width, src.height, src.depth) == (w, h, 8)
+    assert src.frame_count() == 3
+    for y, u, v in frames:
+        f = src.next_frame()
+        assert f is not None and f.kind == "yuv420"
+        np.testing.assert_array_equal(f.y, y.astype(np.uint8))
+        np.testing.assert_array_equal(f.uv[..., 0], u.astype(np.uint8))
+        np.testing.assert_array_equal(f.uv[..., 1], v.astype(np.uint8))
+    assert src.next_frame() is None
+
+
+def test_y4m_10bit_fullrange(tmp_path, rng):
+    w, h = 16, 16
+    frames = [_rand_yuv(rng, w, h, 10)]
+    path = tmp_path / "t10.y4m"
+    _write_y4m(path, frames, w, h, depth=10, extra=" XCOLORRANGE=FULL")
+    src = Y4MFrameSource(open(path, "rb"))
+    assert src.depth == 10 and src.full_range
+    f = src.next_frame()
+    assert f.y.dtype == np.uint16 and f.depth == 10 and f.full_range
+
+
+def test_ivf_roundtrip(tmp_path):
+    path = tmp_path / "t.ivf"
+    packets = [b"hello", b"world!!", b"\x00" * 17]
+    with open(path, "wb") as f:
+        f.write(b"DKIF")
+        f.write(struct.pack("<HH", 0, 32))
+        f.write(b"AV01")
+        f.write(struct.pack("<HH", 320, 240))
+        f.write(struct.pack("<IIII", 25, 1, len(packets), 0))
+        for i, p in enumerate(packets):
+            f.write(struct.pack("<IQ", len(p), i))
+            f.write(p)
+    with open(path, "rb") as f:
+        hdr = ivf.read_header(f)
+        assert (hdr.width, hdr.height, hdr.frames) == (320, 240, 3)
+        assert hdr.codec == "av1"
+        got = list(ivf.iter_packets(f))
+    assert [p for p, _ in got] == packets
+    assert [t for _, t in got] == [0, 1, 2]
+
+
+# A canonical 1080p high-profile SPS (x264 output).
+_SPS_1080P = bytes.fromhex(
+    "6764002AACD940780227E5C05A808080A0000003002000000781E3062240"
+)
+
+
+def test_parse_sps_1080p():
+    info = h264.parse_sps(_SPS_1080P)
+    assert (info.width, info.height) == (1920, 1080)
+    assert info.depth == 8
+
+
+def test_annexb_iteration():
+    data = b"\x00\x00\x00\x01" + _SPS_1080P + b"\x00\x00\x01" + b"\x68\xee\x3c\x80"
+    nalus = list(h264.iter_annexb_nalus(data))
+    assert len(nalus) == 2
+    assert nalus[0][0] & 0x1F == h264.NaluType.SPS
+    assert nalus[1][0] & 0x1F == h264.NaluType.PPS
+    assert h264.find_sps(data).width == 1920
+
+
+def test_avcc_to_annexb():
+    pkt = b"\x00\x00\x00\x03abc" + b"\x00\x00\x00\x02de"
+    out = h264.avcc_into_annexb(pkt, 4)
+    assert out == [b"\x00\x00\x00\x01abc", b"\x00\x00\x00\x01de"]
+
+
+def test_stats_parity():
+    s = Stats.compute([0.0, 1.0, 3.0, 4.0])
+    assert s.mean == 2.0
+    assert s.min == 0.0 and s.max == 4.0
+    assert s.p50 == 2.0
+    assert s.var == pytest.approx(2.5)
+    assert s.sample_var == pytest.approx(10.0 / 3.0)
+
+
+@pytest.fixture(scope="module")
+def vp9_mkv(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(5)
+    path = str(tmp_path_factory.mktemp("vid") / "test.mkv")
+    w, h = 64, 48
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"VP90"), 25, (w, h))
+    if not vw.isOpened():
+        pytest.skip("VP9 encoder unavailable")
+    frames = []
+    for i in range(5):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, :, 0] = i * 40
+        img[: h // 2, :, 1] = 200
+        img[:, : w // 2, 2] = 100
+        frames.append(img)
+        vw.write(img)
+    vw.release()
+    return path, frames, (w, h)
+
+
+def test_mkv_demuxer(vp9_mkv):
+    from turbo_metrics_tpu.io.mkv import MkvDemuxer
+
+    path, frames, (w, h) = vp9_mkv
+    mkv = MkvDemuxer(open(path, "rb"))
+    t = mkv.video_track
+    assert t is not None
+    assert t.codec == "vp9"
+    assert (t.pixel_width, t.pixel_height) == (w, h)
+    pkts = list(mkv.packets())
+    assert len(pkts) == len(frames)
+    assert all(len(p.data) > 0 for p in pkts)
+
+
+def test_native_video_source(vp9_mkv):
+    from turbo_metrics_tpu.io.native import NativeVideoSource, native_available
+
+    if not native_available():
+        pytest.skip("native demuxer not built")
+    path, frames, (w, h) = vp9_mkv
+    src = NativeVideoSource(path)
+    assert (src.width, src.height) == (w, h)
+    count = 0
+    while (f := src.next_frame()) is not None:
+        assert f.kind == "yuv420"
+        assert f.y.shape == (h, w)
+        assert f.uv.shape == ((h + 1) // 2, (w + 1) // 2, 2)
+        count += 1
+    assert count == len(frames)
+    src.close()
+
+
+def test_probe_image_and_video(tmp_path, vp9_mkv, rng):
+    from PIL import Image
+
+    from turbo_metrics_tpu.io.image import ImageFrameSource, ImageProbe
+    from turbo_metrics_tpu.io.probe import create_source
+
+    img = (rng.random((20, 30, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "t.png"
+    Image.fromarray(img).save(p)
+    src = create_source(p)
+    assert isinstance(src, ImageFrameSource)
+    f = src.next_frame()
+    np.testing.assert_array_equal(f.rgb, img)
+    assert src.next_frame() is None
+
+    path, _, (w, h) = vp9_mkv
+    vsrc = create_source(path)
+    assert (vsrc.width, vsrc.height) == (w, h)

@@ -1,0 +1,63 @@
+"""Multi-chip (virtual 8-device CPU mesh) and graft-entry tests."""
+
+import numpy as np
+import pytest
+
+
+def test_graft_entry_compiles():
+    import jax
+
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dryrun_multichip_8():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_sharded_scores_match_single_device(rng):
+    """Frame-sharded execution must give identical scores."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    import functools
+
+    from turbo_metrics_tpu.models.ssimulacra2 import ssimulacra2_subscores
+    from turbo_metrics_tpu.parallel.mesh import make_mesh, shard_over_frames
+
+    b, h, w = 4, 32, 48
+    ref = rng.random((b, 3, h, w), dtype=np.float64).astype(np.float32)
+    dis = np.clip(ref + rng.normal(0, 0.05, ref.shape).astype(np.float32), 0, 1)
+    fn = functools.partial(ssimulacra2_subscores, num_scales=3)
+
+    single = np.asarray(jax.jit(fn)(ref, dis))
+    mesh = make_mesh(4)
+    sharded = np.asarray(shard_over_frames(fn, mesh, in_ndims=(4, 4))(ref, dis))
+    np.testing.assert_allclose(single, sharded, atol=2e-6)
+
+
+def test_prefetcher(tmp_path, rng):
+    from tests.test_io import _rand_yuv, _write_y4m
+
+    from turbo_metrics_tpu.io.probe import create_source
+    from turbo_metrics_tpu.parallel.streaming import FramePrefetcher
+
+    w, h = 32, 24
+    frames = [_rand_yuv(rng, w, h) for _ in range(7)]
+    p = tmp_path / "t.y4m"
+    _write_y4m(p, frames, w, h)
+    pf = FramePrefetcher(create_source(p), create_source(p), batch=3)
+    batches = list(pf)
+    assert [len(b[0]) for b in batches] == [3, 3, 1]
+    np.testing.assert_array_equal(batches[0][0][0].y, frames[0][0].astype(np.uint8))

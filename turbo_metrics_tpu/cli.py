@@ -1,0 +1,163 @@
+"""turbo-metrics CLI: compare two videos/images with TPU-computed metrics.
+
+Argument surface mirrors the reference CLI (turbo-metrics-cli/src/main.rs:31-102):
+positional reference/distorted (or '-' for stdin), repeated -m/--metrics,
+--every/--skip/--skip-ref/--skip-dis/--frames subsetting, --output format.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+log = logging.getLogger("turbo_metrics_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="turbo-metrics",
+        description=(
+            "Turbo metrics compares two images or videos using quality metrics. "
+            "Video decoding happens on the host CPU; metric computations run on "
+            "TPU via JAX/XLA. Use TM_LOG=debug for verbose logging."
+        ),
+    )
+    p.add_argument("reference", help="Reference media. Use '-' to read from stdin.")
+    p.add_argument("distorted", help="Distorted media. Use '-' to read from stdin.")
+    p.add_argument(
+        "-m",
+        "--metrics",
+        action="append",
+        default=[],
+        choices=["psnr", "ssim", "msssim", "ssimulacra2"],
+        help="Metrics to compute (repeatable); the video is only decoded once.",
+    )
+    p.add_argument("--every", type=int, default=0, help="Only compute every Nth frame.")
+    p.add_argument("--skip", type=int, default=0, help="Skip the first N frame pairs.")
+    p.add_argument("--skip-ref", type=int, default=0, help="Extra skip for reference.")
+    p.add_argument("--skip-dis", type=int, default=0, help="Extra skip for distorted.")
+    p.add_argument("--frames", type=int, default=0, help="Max frame pairs to compute.")
+    p.add_argument(
+        "--output",
+        choices=["default", "json", "json-lines", "csv"],
+        default="default",
+        help="Stdout format. Status goes to stderr in all cases.",
+    )
+    p.add_argument("--batch", type=int, default=0, help="Frame pairs per TPU dispatch (0 = auto).")
+    p.add_argument("--no-progress", action="store_true", help="Disable the progress bar.")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    level = os.environ.get("TM_LOG", "info").upper()
+    logging.basicConfig(
+        stream=sys.stderr,
+        level=getattr(logging, level, logging.INFO),
+        format="%(levelname).1s %(name)s: %(message)s",
+    )
+
+    if args.reference == "-" and args.distorted == "-":
+        log.error("Can't read both reference and distorted from stdin")
+        return 1
+    if not args.metrics:
+        args.metrics = ["ssimulacra2"]
+
+    from turbo_metrics_tpu.engine import Metrics, Options, TurboMetrics
+    from turbo_metrics_tpu.io.probe import create_source
+    from turbo_metrics_tpu.output import Output
+
+    metrics = Metrics(**{m: True for m in args.metrics})
+    opts = Options(
+        every=args.every,
+        skip=args.skip,
+        skip_ref=args.skip_ref,
+        skip_dis=args.skip_dis,
+        frames=args.frames,
+    )
+    output = Output(args.output)
+
+    try:
+        source_ref = create_source(args.reference, use_stdin=args.reference == "-")
+    except Exception as e:
+        log.error("Could not read reference : %s", e)
+        return 1
+    try:
+        source_dis = create_source(args.distorted, use_stdin=args.distorted == "-")
+    except Exception as e:
+        log.error("Could not read distorted : %s", e)
+        return 1
+
+    for name, src in (("reference", source_ref), ("distorted", source_dis)):
+        cc, crange = src.color_characteristics()
+        log.info(
+            "%s: codec=%s width=%d height=%d cp=%s mc=%s tc=%s cr=%s frame_count=%d",
+            name, src.format_id(), src.width, src.height,
+            cc.cp.name, cc.mc.name, cc.tc.name, crange, src.frame_count(),
+        )
+
+    if (source_ref.width, source_ref.height) != (source_dis.width, source_dis.height):
+        log.error("Reference and distorted are not the same size")
+        return 1
+
+    try:
+        turbo = TurboMetrics(
+            source_ref.width,
+            source_ref.height,
+            metrics,
+            batch=args.batch or None,
+        )
+    except Exception as e:
+        log.error("Could not initialize engine : %s", e)
+        return 1
+
+    output.prepare(metrics)
+
+    total = max(source_ref.frame_count(), source_dis.frame_count())
+    pbar = None
+    if not args.no_progress and sys.stderr.isatty():
+        try:
+            from tqdm import tqdm
+
+            pbar = tqdm(total=total or None, unit="frame", file=sys.stderr)
+        except ImportError:
+            pass
+
+    def on_frame(scores):
+        output.output_single_score(scores)
+        if pbar is not None:
+            pbar.update(1)
+
+    start = time.monotonic()
+    results = turbo.compute_all(source_ref, source_dis, opts, on_frame=on_frame)
+    elapsed = time.monotonic() - start
+    if pbar is not None:
+        pbar.close()
+
+    fps = results.frame_count / elapsed if elapsed > 0 else 0.0
+    mpxs = source_ref.width * source_ref.height * results.frame_count / elapsed / 1e6
+    log.info(
+        "Processed: %d frame pairs in %.3f s (%.1f fps) (Mpx/s: %.3f)",
+        results.frame_count, elapsed, fps, mpxs,
+    )
+    output.output_results(results)
+    return 0
+
+
+def run() -> int:
+    """Entry point with conventional SIGPIPE behaviour (for `cli | head`)."""
+    import signal
+
+    try:
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (AttributeError, ValueError):  # pragma: no cover - non-POSIX
+        pass
+    return main()
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -79,8 +79,17 @@ def _downsample_2x2(x: jax.Array) -> jax.Array:
 
 
 def msssim(a: jax.Array, b: jax.Array, *, levels: int = 5) -> jax.Array:
-    """Multi-scale SSIM (Wang 2003); (..., C, H, W) -> (...,)."""
+    """Multi-scale SSIM (Wang 2003); (..., C, H, W) -> (...,).
+
+    Levels are clamped so the 11x11 window still fits after downsampling
+    (min dim >= 11 * 2^(levels-1)); clamped weights are renormalised to sum 1.
+    """
+    min_dim = min(a.shape[-2], a.shape[-1])
+    fit = max(1, (min_dim // 11).bit_length())
+    levels = min(levels, fit)
     weights = MSSSIM_WEIGHTS[:levels]
+    if levels < len(MSSSIM_WEIGHTS):
+        weights = weights / weights.sum()
     result = None
     for lvl in range(levels):
         luminance, cs = _ssim_parts(a, b)

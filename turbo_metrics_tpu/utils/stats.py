@@ -35,12 +35,15 @@ class Stats:
             raise ValueError("Stats.compute requires at least one value")
         s = np.sort(v)
         mean = float(s.sum() / v.size)
-        if v.size < 2:
-            var = sample_var = 0.0
-        else:
-            sq = float(((v - mean) ** 2).sum())
-            var = sq / v.size
-            sample_var = sq / (v.size - 1)
+        # inf scores (e.g. PSNR of identical frames) make variance NaN; that
+        # is faithful to the math and mirrors the reference's f64 pipeline.
+        with np.errstate(invalid="ignore"):
+            if v.size < 2:
+                var = sample_var = 0.0
+            else:
+                sq = float(((v - mean) ** 2).sum())
+                var = sq / v.size
+                sample_var = sq / (v.size - 1)
         return cls(
             min=float(s[0]),
             max=float(s[-1]),
@@ -73,4 +76,6 @@ def _percentile_of_sorted(sorted_samples: np.ndarray, pct: float) -> float:
     n = int(lrank)
     lo = sorted_samples[n]
     hi = sorted_samples[n + 1]
+    if lo == hi:  # also avoids inf - inf
+        return float(lo)
     return float(lo + (hi - lo) * d)
