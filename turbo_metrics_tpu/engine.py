@@ -34,15 +34,17 @@ log = logging.getLogger("turbo_metrics_tpu")
 
 @dataclass
 class Metrics:
-    """Metric selection (turbo-metrics/src/lib.rs:27-37, extended)."""
+    """Metric selection (turbo-metrics/src/lib.rs:27-37, extended with XPSNR,
+    which the reference has in-tree but never wired to its CLI)."""
 
     psnr: bool = False
     ssim: bool = False
     msssim: bool = False
     ssimulacra2: bool = False
+    xpsnr: bool = False
 
     def any(self) -> bool:
-        return self.psnr or self.ssim or self.msssim or self.ssimulacra2
+        return self.psnr or self.ssim or self.msssim or self.ssimulacra2 or self.xpsnr
 
 
 @dataclass
@@ -62,6 +64,7 @@ class FrameScores:
     ssim: Optional[float] = None
     msssim: Optional[float] = None
     ssimulacra2: Optional[float] = None
+    xpsnr: Optional[float] = None
 
     def to_dict(self) -> dict:
         return {k: v for k, v in self.__dict__.items() if v is not None}
@@ -80,6 +83,10 @@ class MetricsResults:
     ssim: Optional[MetricAggregate] = None
     msssim: Optional[MetricAggregate] = None
     ssimulacra2: Optional[MetricAggregate] = None
+    xpsnr: Optional[MetricAggregate] = None
+
+
+METRIC_NAMES = ("psnr", "ssim", "msssim", "ssimulacra2", "xpsnr")
 
 
 from turbo_metrics_tpu.utils.stats import Stats  # noqa: E402  (dataclass ref above)
@@ -141,6 +148,25 @@ def _convert_to_linear(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.
     return colorspace.srgb_to_linear(rgb, depth=spec.depth)
 
 
+def _luma_code(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.Array:
+    """Integer luma code values (B, H, W) for XPSNR.
+
+    YUV sources use the decoded Y plane directly (as the reference does);
+    RGB sources derive gamma-domain luma with BT.709 weights.
+    """
+    if spec.kind == "yuv420":
+        return arrays[0]
+    rgb = arrays[0].astype(jnp.float32)
+    kr, kb = colorspace.MATRIX_KR_KB["bt709"]
+    kg = 1.0 - kr - kb
+    y = (
+        np.float32(kr) * rgb[..., 0]
+        + np.float32(kg) * rgb[..., 1]
+        + np.float32(kb) * rgb[..., 2]
+    )
+    return jnp.round(y).astype(jnp.int32)
+
+
 # --------------------------------------------------------------------------
 # Engine
 # --------------------------------------------------------------------------
@@ -165,6 +191,7 @@ class TurboMetrics:
         self.batch = batch if batch is not None else default_batch(width, height)
         self.num_scales = len(scale_dims(self.height, self.width))
         self._step_cache: dict = {}
+        self._prev_ref: Optional[np.ndarray] = None  # XPSNR temporal state
 
     # -- device program ----------------------------------------------------
 
@@ -175,7 +202,7 @@ class TurboMetrics:
             metrics = self.metrics
             num_scales = self.num_scales
 
-            def step(ref_arrays, dis_arrays):
+            def step(ref_arrays, dis_arrays, prev_ref_arrays):
                 lin_ref = _convert_to_linear(spec_ref, ref_arrays)
                 lin_dis = _convert_to_linear(spec_dis, dis_arrays)
                 out = {}
@@ -194,6 +221,13 @@ class TurboMetrics:
                     out["ssimulacra2_subscores"] = ssimulacra2_subscores(
                         lin_ref, lin_dis, num_scales=num_scales
                     )
+                if metrics.xpsnr:
+                    from turbo_metrics_tpu.ops.xpsnr_ops import xpsnr_block_stats
+
+                    y_ref = _luma_code(spec_ref, ref_arrays)
+                    y_dis = _luma_code(spec_dis, dis_arrays)
+                    y_prev = _luma_code(spec_ref, prev_ref_arrays)
+                    out["xpsnr_stats"] = xpsnr_block_stats(y_ref, y_dis, y_prev)
                 return out
 
             fn = jax.jit(step)
@@ -226,7 +260,17 @@ class TurboMetrics:
         spec_ref = ConvertSpec.for_frame(f_ref, *cc_ref)
         spec_dis = ConvertSpec.for_frame(f_dis, *cc_dis)
         step = self._get_step(spec_ref, spec_dis)
-        out = step(ref_arrays, dis_arrays)
+
+        # Previous-reference-frame batch for XPSNR temporal activity: the
+        # stream's preceding frame per slot (first frame sees itself).
+        lead = ref_arrays[0]
+        prev0 = self._prev_ref if self._prev_ref is not None else lead[0:1]
+        prev_lead = np.concatenate([prev0, lead[:-1]], axis=0)
+        prev_arrays = (prev_lead,) + tuple(a for a in ref_arrays[1:])
+        if self.metrics.xpsnr:
+            self._prev_ref = np.array(lead[-1:])
+
+        out = step(ref_arrays, dis_arrays, prev_arrays)
 
         scores = [FrameScores() for _ in range(n)]
         for name in ("psnr", "ssim", "msssim"):
@@ -239,6 +283,19 @@ class TurboMetrics:
             s2 = postprocess_score(vals)
             for i in range(n):
                 scores[i].ssimulacra2 = float(s2[i])
+        if "xpsnr_stats" in out:
+            from turbo_metrics_tpu.ops.xpsnr_ops import xpsnr_db, xpsnr_weights
+
+            stats = {k: np.asarray(v) for k, v in out["xpsnr_stats"].items()}
+            depth = f_ref.depth if f_ref.kind == "yuv420" else 8
+            for i in range(n):
+                wsse, _ = xpsnr_weights(
+                    stats["sse"][i], stats["sact"][i], stats["tact"][i],
+                    width=self.width, height=self.height, depth=depth,
+                )
+                scores[i].xpsnr = xpsnr_db(
+                    wsse, width=self.width, height=self.height, depth=depth
+                )
         return scores
 
     def compute_one(
@@ -275,10 +332,7 @@ class TurboMetrics:
 
         m = self.metrics
         acc: dict[str, Optional[list[float]]] = {
-            "psnr": [] if m.psnr else None,
-            "ssim": [] if m.ssim else None,
-            "msssim": [] if m.msssim else None,
-            "ssimulacra2": [] if m.ssimulacra2 else None,
+            name: ([] if getattr(m, name) else None) for name in METRIC_NAMES
         }
 
         frames_ref.skip_frames(opts.skip_ref + opts.skip)
@@ -324,10 +378,7 @@ class TurboMetrics:
 
         return MetricsResults(
             frame_count=compute_count,
-            psnr=_aggregate(acc["psnr"]),
-            ssim=_aggregate(acc["ssim"]),
-            msssim=_aggregate(acc["msssim"]),
-            ssimulacra2=_aggregate(acc["ssimulacra2"]),
+            **{name: _aggregate(acc[name]) for name in METRIC_NAMES},
         )
 
 

@@ -16,7 +16,7 @@ from typing import Optional
 
 from turbo_metrics_tpu.engine import FrameScores, Metrics, MetricsResults
 
-METRIC_ORDER = ("psnr", "ssim", "msssim", "ssimulacra2")
+METRIC_ORDER = ("psnr", "ssim", "msssim", "ssimulacra2", "xpsnr")
 
 
 class Output(Enum):
