@@ -1,0 +1,55 @@
+"""Pallas kernels vs the jnp reference path (interpreter backend on CPU)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from turbo_metrics_tpu.models.ssimulacra2 import ssimulacra2_subscores
+from turbo_metrics_tpu.ops.gaussian import blur_2d
+from turbo_metrics_tpu.ops.pallas.scale_stats import norms_from_sums, scale_sums_pallas
+from turbo_metrics_tpu.ops.ssim_maps import scale_norms
+from turbo_metrics_tpu.ops.xyb import linear_rgb_to_xyb
+
+
+def _xyb_pair(rng, b, h, w):
+    lin1 = rng.random((b, 3, h, w), dtype=np.float64).astype(np.float32)
+    lin2 = np.clip(lin1 + rng.normal(0, 0.05, lin1.shape).astype(np.float32), 0, 1)
+    return (
+        np.asarray(linear_rgb_to_xyb(jnp.asarray(lin1))),
+        np.asarray(linear_rgb_to_xyb(jnp.asarray(lin2))),
+    )
+
+
+@pytest.mark.parametrize("hw", [(32, 48), (40, 130), (24, 128), (34, 60)])
+def test_scale_sums_matches_jnp(rng, hw):
+    h, w = hw
+    xyb1, xyb2 = _xyb_pair(rng, 2, h, w)
+
+    sums = scale_sums_pallas(jnp.asarray(xyb1), jnp.asarray(xyb2), interpret=True)
+    got = np.asarray(norms_from_sums(sums, h * w))
+
+    stacked = jnp.concatenate(
+        [xyb1, xyb2, xyb1 * xyb1, xyb2 * xyb2, xyb1 * xyb2], axis=1
+    )
+    mu1, mu2, s11, s22, s12 = jnp.split(blur_2d(jnp.asarray(stacked)), 5, axis=1)
+    want = np.asarray(
+        scale_norms(jnp.asarray(xyb1), jnp.asarray(xyb2), mu1, mu2, s11, s22, s12)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_full_subscores_interpret_matches_jnp(rng):
+    b, h, w = 1, 48, 64
+    lin1 = rng.random((b, 3, h, w), dtype=np.float64).astype(np.float32)
+    lin2 = np.clip(lin1 + rng.normal(0, 0.03, lin1.shape).astype(np.float32), 0, 1)
+    jnp_out = np.asarray(
+        ssimulacra2_subscores(lin1, lin2, num_scales=3, backend="jnp")
+    )
+    pl_out = np.asarray(
+        ssimulacra2_subscores(lin1, lin2, num_scales=3, backend="interpret")
+    )
+    np.testing.assert_allclose(pl_out, jnp_out, rtol=2e-5, atol=2e-6)

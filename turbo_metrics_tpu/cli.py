@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--metrics",
         action="append",
         default=[],
-        choices=["psnr", "ssim", "msssim", "ssimulacra2", "xpsnr"],
+        choices=["psnr", "ssim", "msssim", "ssimulacra2", "xpsnr", "vmaf"],
         help="Metrics to compute (repeatable); the video is only decoded once.",
     )
     p.add_argument("--every", type=int, default=0, help="Only compute every Nth frame.")

@@ -42,9 +42,17 @@ class Metrics:
     msssim: bool = False
     ssimulacra2: bool = False
     xpsnr: bool = False
+    vmaf: bool = False  # VMAF elementary features (motion, vif)
 
     def any(self) -> bool:
-        return self.psnr or self.ssim or self.msssim or self.ssimulacra2 or self.xpsnr
+        return (
+            self.psnr
+            or self.ssim
+            or self.msssim
+            or self.ssimulacra2
+            or self.xpsnr
+            or self.vmaf
+        )
 
 
 @dataclass
@@ -65,6 +73,8 @@ class FrameScores:
     msssim: Optional[float] = None
     ssimulacra2: Optional[float] = None
     xpsnr: Optional[float] = None
+    vmaf_motion: Optional[float] = None
+    vmaf_vif: Optional[float] = None
 
     def to_dict(self) -> dict:
         return {k: v for k, v in self.__dict__.items() if v is not None}
@@ -84,9 +94,13 @@ class MetricsResults:
     msssim: Optional[MetricAggregate] = None
     ssimulacra2: Optional[MetricAggregate] = None
     xpsnr: Optional[MetricAggregate] = None
+    vmaf_motion: Optional[MetricAggregate] = None
+    vmaf_vif: Optional[MetricAggregate] = None
 
 
-METRIC_NAMES = ("psnr", "ssim", "msssim", "ssimulacra2", "xpsnr")
+METRIC_NAMES = (
+    "psnr", "ssim", "msssim", "ssimulacra2", "xpsnr", "vmaf_motion", "vmaf_vif"
+)
 
 
 from turbo_metrics_tpu.utils.stats import Stats  # noqa: E402  (dataclass ref above)
@@ -192,6 +206,7 @@ class TurboMetrics:
         self.num_scales = len(scale_dims(self.height, self.width))
         self._step_cache: dict = {}
         self._prev_ref: Optional[np.ndarray] = None  # XPSNR temporal state
+        self._vmaf_prev_blur: Optional[np.ndarray] = None  # motion state
 
     # -- device program ----------------------------------------------------
 
@@ -202,7 +217,7 @@ class TurboMetrics:
             metrics = self.metrics
             num_scales = self.num_scales
 
-            def step(ref_arrays, dis_arrays, prev_ref_arrays):
+            def step(ref_arrays, dis_arrays, aux):
                 lin_ref = _convert_to_linear(spec_ref, ref_arrays)
                 lin_dis = _convert_to_linear(spec_dis, dis_arrays)
                 out = {}
@@ -226,8 +241,30 @@ class TurboMetrics:
 
                     y_ref = _luma_code(spec_ref, ref_arrays)
                     y_dis = _luma_code(spec_dis, dis_arrays)
-                    y_prev = _luma_code(spec_ref, prev_ref_arrays)
+                    y_prev = _luma_code(spec_ref, aux["prev_ref"])
                     out["xpsnr_stats"] = xpsnr_block_stats(y_ref, y_dis, y_prev)
+                if metrics.vmaf:
+                    from turbo_metrics_tpu.ops.vif import vif_scale_stats
+                    from turbo_metrics_tpu.ops.vmaf_motion import integer_blur
+
+                    y_ref = _luma_code(spec_ref, ref_arrays)
+                    y_dis = _luma_code(spec_dis, dis_arrays)
+                    # VIF runs on luma in 8-bit units.
+                    scale8 = np.float32(255.0 / ((1 << spec_ref.depth) - 1))
+                    out["vif_stats"] = vif_scale_stats(
+                        y_ref.astype(jnp.float32) * scale8,
+                        y_dis.astype(jnp.float32) * scale8,
+                    )
+                    blurred = integer_blur(y_ref, depth=spec_ref.depth)
+                    prev_blur = aux["vmaf_prev_blur"]
+                    prev_seq = jnp.concatenate(
+                        [prev_blur[None], blurred[:-1]], axis=0
+                    )
+                    diff = jnp.abs(
+                        blurred.astype(jnp.int32) - prev_seq.astype(jnp.int32)
+                    ).astype(jnp.uint32)
+                    out["vmaf_sad_rows"] = diff.sum(axis=-1, dtype=jnp.uint32)
+                    out["vmaf_last_blur"] = blurred[-1]
                 return out
 
             fn = jax.jit(step)
@@ -261,16 +298,35 @@ class TurboMetrics:
         spec_dis = ConvertSpec.for_frame(f_dis, *cc_dis)
         step = self._get_step(spec_ref, spec_dis)
 
-        # Previous-reference-frame batch for XPSNR temporal activity: the
-        # stream's preceding frame per slot (first frame sees itself).
+        # Auxiliary streaming state: previous reference frame (XPSNR temporal
+        # activity; the stream's first frame sees itself) and previous blurred
+        # luma (VMAF motion).
+        aux: dict = {}
         lead = ref_arrays[0]
         prev0 = self._prev_ref if self._prev_ref is not None else lead[0:1]
         prev_lead = np.concatenate([prev0, lead[:-1]], axis=0)
-        prev_arrays = (prev_lead,) + tuple(a for a in ref_arrays[1:])
+        aux["prev_ref"] = (prev_lead,) + tuple(a for a in ref_arrays[1:])
         if self.metrics.xpsnr:
             self._prev_ref = np.array(lead[-1:])
+        vmaf_first = False
+        if self.metrics.vmaf:
+            if self._vmaf_prev_blur is None:
+                vmaf_first = True
+                from turbo_metrics_tpu.ops.vmaf_motion import integer_blur
 
-        out = step(ref_arrays, dis_arrays, prev_arrays)
+                y0 = np.asarray(
+                    jax.jit(
+                        lambda a: _luma_code(spec_ref, a)[0:1]
+                    )(ref_arrays)
+                )
+                self._vmaf_prev_blur = np.asarray(
+                    jax.jit(
+                        lambda y: integer_blur(y, depth=spec_ref.depth)
+                    )(y0)
+                )[0]
+            aux["vmaf_prev_blur"] = self._vmaf_prev_blur
+
+        out = step(ref_arrays, dis_arrays, aux)
 
         scores = [FrameScores() for _ in range(n)]
         for name in ("psnr", "ssim", "msssim"):
@@ -283,6 +339,20 @@ class TurboMetrics:
             s2 = postprocess_score(vals)
             for i in range(n):
                 scores[i].ssimulacra2 = float(s2[i])
+        if "vif_stats" in out:
+            from turbo_metrics_tpu.ops.vif import vif_scores
+            from turbo_metrics_tpu.ops.vmaf_motion import motion_score
+
+            vs = vif_scores(np.asarray(out["vif_stats"]))
+            sads = np.asarray(out["vmaf_sad_rows"], dtype=np.int64).sum(axis=-1)
+            self._vmaf_prev_blur = np.asarray(out["vmaf_last_blur"])
+            for i in range(n):
+                scores[i].vmaf_vif = float(vs["vif"][i])
+                scores[i].vmaf_motion = motion_score(
+                    int(sads[i]), self.width, self.height, depth=f_ref.depth
+                )
+            if vmaf_first:
+                scores[0].vmaf_motion = 0.0
         if "xpsnr_stats" in out:
             from turbo_metrics_tpu.ops.xpsnr_ops import xpsnr_db, xpsnr_weights
 
@@ -332,7 +402,12 @@ class TurboMetrics:
 
         m = self.metrics
         acc: dict[str, Optional[list[float]]] = {
-            name: ([] if getattr(m, name) else None) for name in METRIC_NAMES
+            name: (
+                []
+                if (m.vmaf if name.startswith("vmaf_") else getattr(m, name))
+                else None
+            )
+            for name in METRIC_NAMES
         }
 
         frames_ref.skip_frames(opts.skip_ref + opts.skip)

@@ -32,8 +32,20 @@ from turbo_metrics_tpu.models.ssimulacra2_score import postprocess_score
 NUM_SCALES = 6
 
 
+def default_backend() -> str:
+    """'pallas' on TPU, 'jnp' elsewhere (CPU tests, interpret runs)."""
+    try:
+        return "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+    except Exception:  # pragma: no cover
+        return "jnp"
+
+
 def ssimulacra2_subscores(
-    lin_ref: jax.Array, lin_dis: jax.Array, *, num_scales: int
+    lin_ref: jax.Array,
+    lin_dis: jax.Array,
+    *,
+    num_scales: int,
+    backend: str = "auto",
 ) -> jax.Array:
     """Sub-scores for a batch of linear-RGB frame pairs.
 
@@ -43,7 +55,13 @@ def ssimulacra2_subscores(
     The scale loop is unrolled at trace time (static shapes per scale), so
     XLA sees one static program — the analog of the reference's CUDA graph
     capture (ssimulacra2-cuda/src/lib.rs:140-229).
+
+    ``backend``: 'pallas' uses the fused VMEM megakernel per scale
+    (ops/pallas/scale_stats.py — one HBM pass per scale), 'jnp' the plain
+    XLA-fused path, 'interpret' the Pallas interpreter (for CPU testing).
     """
+    if backend == "auto":
+        backend = default_backend()
     per_scale = []
     for s in range(num_scales):
         if s:
@@ -52,14 +70,26 @@ def ssimulacra2_subscores(
         xyb1 = linear_rgb_to_xyb(lin_ref)
         xyb2 = linear_rgb_to_xyb(lin_dis)
 
-        # Blur 5 quantities (mu1, mu2, sigma11, sigma22, sigma12) in one
-        # fused separable pass — the analog of the reference's 5-image fused
-        # blur launch (ssimulacra2-cuda/src/kernel.rs:219-277).
-        stacked = jnp.concatenate(
-            [xyb1, xyb2, xyb1 * xyb1, xyb2 * xyb2, xyb1 * xyb2], axis=1
-        )
-        mu1, mu2, s11, s22, s12 = jnp.split(blur_2d(stacked), 5, axis=1)
-        per_scale.append(scale_norms(xyb1, xyb2, mu1, mu2, s11, s22, s12))
+        if backend in ("pallas", "interpret"):
+            from turbo_metrics_tpu.ops.pallas.scale_stats import (
+                norms_from_sums,
+                scale_sums_pallas,
+            )
+
+            sums = scale_sums_pallas(
+                xyb1, xyb2, interpret=backend == "interpret"
+            )
+            npx = xyb1.shape[-2] * xyb1.shape[-1]
+            per_scale.append(norms_from_sums(sums, npx))
+        else:
+            # Blur 5 quantities (mu1, mu2, sigma11, sigma22, sigma12) in one
+            # fused separable pass — the analog of the reference's 5-image
+            # fused blur launch (ssimulacra2-cuda/src/kernel.rs:219-277).
+            stacked = jnp.concatenate(
+                [xyb1, xyb2, xyb1 * xyb1, xyb2 * xyb2, xyb1 * xyb2], axis=1
+            )
+            mu1, mu2, s11, s22, s12 = jnp.split(blur_2d(stacked), 5, axis=1)
+            per_scale.append(scale_norms(xyb1, xyb2, mu1, mu2, s11, s22, s12))
     return jnp.stack(per_scale, axis=2)
 
 

@@ -1,0 +1,226 @@
+"""Pallas TPU megakernel: one fused pass per SSIMULACRA2 scale.
+
+The jnp pipeline materialises ~13 HBM-sized intermediates per scale (products,
+two blur passes, maps).  This kernel keeps everything in VMEM: each grid step
+DMAs one (tile + halo) block of the two XYB planes, computes the five
+products, both separable 11-tap blur passes, the SSIM and edge-difference
+error maps, and accumulates the six masked partial sums — writing back only a
+tiny sums row per plane.  Per-scale HBM traffic drops from ~1.3 GB to
+~0.3 GB for a 1080p batch of 4.
+
+This is the TPU analog of the reference's fused 5-image blur + CUDA-graph
+scheduling (ssimulacra2-cuda/src/kernel.rs:219-277, lib.rs:140-229), fused
+further: where the reference does 3 HBM round trips per scale
+(blur -> transpose -> blur), this kernel does one.
+
+Alignment: Mosaic requires DMA slices tiled to (8, 128) in the last two
+dims, so the zero halo (R = 5) is embedded in aligned padding — 8 rows on
+top, 64 lanes on the left — and tiles are read with an aligned overlap of
+(16 rows, 128 lanes).  The padding is zero, matching the reference's
+zero-padded blur borders exactly; sums are masked to the valid (h, w) region.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from turbo_metrics_tpu.ops.gaussian import RADIUS, gaussian_taps
+from turbo_metrics_tpu.ops.ssim_maps import C2
+
+# Row/column tile sizes (rows: multiple of 8; cols: multiple of 128).
+TILE_H = 128
+TILE_W = 512
+_ROW_HALO = 8  # aligned halo covering the blur radius of 5
+_COL_HALO = 64
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _blur_w(x: jax.Array, taps, start: int, out_w: int) -> jax.Array:
+    acc = taps[0] * jax.lax.slice_in_dim(x, start, start + out_w, axis=-1)
+    for k in range(1, 2 * RADIUS + 1):
+        acc = acc + taps[k] * jax.lax.slice_in_dim(
+            x, start + k, start + k + out_w, axis=-1
+        )
+    return acc
+
+
+def _blur_h(x: jax.Array, taps, start: int, out_h: int) -> jax.Array:
+    acc = taps[0] * jax.lax.slice_in_dim(x, start, start + out_h, axis=-2)
+    for k in range(1, 2 * RADIUS + 1):
+        acc = acc + taps[k] * jax.lax.slice_in_dim(
+            x, start + k, start + k + out_h, axis=-2
+        )
+    return acc
+
+
+def _scale_stats_kernel(
+    img1_hbm,
+    img2_hbm,
+    out_ref,
+    t1,
+    t2,
+    sems,
+    *,
+    h: int,
+    w: int,
+    tile_h: int,
+    tile_w: int,
+    taps: tuple[float, ...],
+):
+    p = pl.program_id(0)
+    th = pl.program_id(1)
+    tw = pl.program_id(2)
+    r = RADIUS
+
+    row0 = pl.multiple_of(th * tile_h, 8)
+    col0 = pl.multiple_of(tw * tile_w, 128)
+    rows = tile_h + 2 * _ROW_HALO
+    cols = tile_w + 2 * _COL_HALO
+    dma1 = pltpu.make_async_copy(
+        img1_hbm.at[p, pl.ds(row0, rows), pl.ds(col0, cols)], t1, sems.at[0]
+    )
+    dma2 = pltpu.make_async_copy(
+        img2_hbm.at[p, pl.ds(row0, rows), pl.ds(col0, cols)], t2, sems.at[1]
+    )
+    dma1.start()
+    dma2.start()
+    dma1.wait()
+    dma2.wait()
+
+    a = t1[:]  # (tile_h + 16, tile_w + 128); image pixel (y, x) at local
+    b = t2[:]  # (ROW_HALO + y - row0, COL_HALO + x - col0)
+    tp = [jnp.float32(v) for v in taps]
+
+    # Separable blur of the 5 quantities, entirely in VMEM.  The W pass
+    # consumes lanes [COL_HALO-r+k, ...); the H pass rows [ROW_HALO-r+k, ...).
+    blurred = []
+    for q in (a, b, a * a, b * b, a * b):
+        qw = _blur_w(q, tp, _COL_HALO - r, tile_w)  # (tile_h + 16, tile_w)
+        blurred.append(_blur_h(qw, tp, _ROW_HALO - r, tile_h))  # (tile_h, tile_w)
+    mu1, mu2, s11, s22, s12 = blurred
+
+    i1 = jax.lax.slice(a, (_ROW_HALO, _COL_HALO), (_ROW_HALO + tile_h, _COL_HALO + tile_w))
+    i2 = jax.lax.slice(b, (_ROW_HALO, _COL_HALO), (_ROW_HALO + tile_h, _COL_HALO + tile_w))
+
+    one = jnp.float32(1.0)
+    # Modified SSIM error map (see ops/ssim_maps.py for derivation).
+    mu12 = mu1 * mu2
+    mu_diff = mu1 - mu2
+    num_m = one - mu_diff * mu_diff
+    num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+    denom_s = (s11 - mu1 * mu1) + (s22 - mu2 * mu2) + C2
+    d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+
+    # Edge-difference map.
+    aa = jnp.abs(i2 - mu2)
+    bb = jnp.abs(i1 - mu1)
+    d1 = (aa - bb) / (one + bb)
+    art = jnp.maximum(d1, 0.0)
+    det = jnp.maximum(-d1, 0.0)
+
+    # Mask to the valid image region (the zero padding beyond (h, w) must
+    # not contribute to the sums).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), dimension=0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), dimension=1)
+    mask = ((row_ids + row0 < h) & (col_ids + col0 < w)).astype(jnp.float32)
+
+    d = d * mask
+    art = art * mask
+    det = det * mask
+    d2 = d * d
+    art2 = art * art
+    det2 = det * det
+    partial = jnp.stack(
+        [
+            jnp.sum(d),
+            jnp.sum(d2 * d2),
+            jnp.sum(art),
+            jnp.sum(art2 * art2),
+            jnp.sum(det),
+            jnp.sum(det2 * det2),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+        ]
+    )
+
+    # Output block is (1, 8, 8) per plane (sums live in row 0); blocks must
+    # be (8k, 128k)-or-full in the last two dims, hence the 8x8 pad.
+    @pl.when((th == 0) & (tw == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[0, 0, :] += partial
+
+
+def scale_sums_pallas(
+    xyb1: jax.Array, xyb2: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """Fused per-scale sums for (B, 3, h, w) XYB inputs.
+
+    Returns (B, 3, 6) f32: [sum d, sum d^4, sum art, sum art^4, sum det,
+    sum det^4] over the h*w valid pixels (caller divides and takes roots).
+    """
+    bsz, ch, h, w = xyb1.shape
+    assert ch == 3
+    tile_h = min(TILE_H, _round_up(h, 8))
+    tile_w = min(TILE_W, _round_up(w, 128))
+    nth = -(-h // tile_h)
+    ntw = -(-w // tile_w)
+    # Padded plane: aligned zero halos around the tiled extent.
+    hp = _ROW_HALO + nth * tile_h + _ROW_HALO
+    wp = _COL_HALO + ntw * tile_w + _COL_HALO
+
+    def pad(x):
+        x = x.reshape(bsz * 3, h, w)
+        return jnp.pad(
+            x,
+            (
+                (0, 0),
+                (_ROW_HALO, hp - h - _ROW_HALO),
+                (_COL_HALO, wp - w - _COL_HALO),
+            ),
+        )
+
+    p1 = pad(xyb1)
+    p2 = pad(xyb2)
+    taps = tuple(float(v) for v in gaussian_taps())
+
+    kernel = functools.partial(
+        _scale_stats_kernel, h=h, w=w, tile_h=tile_h, tile_w=tile_w, taps=taps
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz * 3, nth, ntw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, 8), lambda p, th, tw: (p, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz * 3, 8, 8), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * _ROW_HALO, tile_w + 2 * _COL_HALO), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * _ROW_HALO, tile_w + 2 * _COL_HALO), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(p1, p2)
+    return out[:, 0, :6].reshape(bsz, 3, 6)
+
+
+def norms_from_sums(sums: jax.Array, npx: int) -> jax.Array:
+    """(B, 3, 6) sums -> (B, 3, 2, 3) norms matching ops.ssim_maps.scale_norms."""
+    inv = np.float32(1.0 / npx)
+    n1 = sums[..., 0::2] * inv  # (B, 3, 3): d, art, det 1-norms
+    n4 = jnp.sqrt(jnp.sqrt(sums[..., 1::2] * inv))
+    return jnp.stack([n1, n4], axis=-2)  # (B, 3, 2, 3)

@@ -66,5 +66,11 @@ def motion_stats(y: jax.Array, prev_blurred: jax.Array, *, depth: int = 8) -> di
 
 
 def motion_score(sad: int, width: int, height: int, *, depth: int = 8) -> float:
-    """SAD -> libvmaf 'motion' score: mean abs diff in 8-bit units."""
-    return float(sad) / (width * height) / float(1 << (depth - 8))
+    """SAD -> libvmaf 'motion' score: mean abs diff in 8-bit units.
+
+    The integer blur outputs samples scaled to the 16-bit range regardless of
+    source depth (the >>N / >>16 shifts normalise exactly), so the SAD is
+    divided by 2^(16-8) = 256 to express motion in 8-bit code values.
+    """
+    del depth  # blur output scale is depth-independent
+    return float(sad) / (width * height) / 256.0

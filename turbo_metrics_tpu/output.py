@@ -16,7 +16,9 @@ from typing import Optional
 
 from turbo_metrics_tpu.engine import FrameScores, Metrics, MetricsResults
 
-METRIC_ORDER = ("psnr", "ssim", "msssim", "ssimulacra2", "xpsnr")
+METRIC_ORDER = (
+    "psnr", "ssim", "msssim", "ssimulacra2", "xpsnr", "vmaf_motion", "vmaf_vif"
+)
 
 
 class Output(Enum):
@@ -27,7 +29,11 @@ class Output(Enum):
 
     def prepare(self, metrics: Metrics) -> None:
         if self is Output.CSV:
-            cols = [m for m in METRIC_ORDER if getattr(metrics, m)]
+            cols = [
+                m
+                for m in METRIC_ORDER
+                if (metrics.vmaf if m.startswith("vmaf_") else getattr(metrics, m))
+            ]
             print(",".join(cols))
 
     def output_single_score(self, scores: FrameScores) -> None:
