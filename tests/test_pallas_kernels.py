@@ -53,3 +53,20 @@ def test_full_subscores_interpret_matches_jnp(rng):
         ssimulacra2_subscores(lin1, lin2, num_scales=3, backend="interpret")
     )
     np.testing.assert_allclose(pl_out, jnp_out, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("hw", [(48, 64), (35, 61)])
+def test_fused_v2_matches_jnp(rng, hw):
+    """v2 kernel (xyb + downscale folded in) vs the jnp path, odd dims too."""
+    h, w = hw
+    lin1 = rng.random((2, 3, h, w), dtype=np.float64).astype(np.float32)
+    lin2 = np.clip(lin1 + rng.normal(0, 0.03, lin1.shape).astype(np.float32), 0, 1)
+    jnp_out = np.asarray(
+        ssimulacra2_subscores(lin1, lin2, num_scales=3, backend="jnp")
+    )
+    v2_out = np.asarray(
+        ssimulacra2_subscores(lin1, lin2, num_scales=3, backend="interpret2")
+    )
+    # 2x2-mean summation order differs (reduce_window vs explicit quad sum),
+    # giving ~1e-6 absolute differences on near-zero sub-scores.
+    np.testing.assert_allclose(v2_out, jnp_out, rtol=3e-5, atol=1e-5)

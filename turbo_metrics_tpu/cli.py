@@ -48,6 +48,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--batch", type=int, default=0, help="Frame pairs per TPU dispatch (0 = auto).")
     p.add_argument("--no-progress", action="store_true", help="Disable the progress bar.")
+    p.add_argument(
+        "--color-matrix",
+        choices=["bt709", "bt601_525", "bt601_625", "bt2020"],
+        help="Override the YCbCr matrix (for containers without metadata, e.g. HDR Y4M).",
+    )
+    p.add_argument(
+        "--color-transfer",
+        choices=["bt709", "srgb", "pq", "hlg", "linear"],
+        help="Override the transfer characteristic.",
+    )
+    p.add_argument(
+        "--color-range",
+        choices=["limited", "full"],
+        help="Override the signal range.",
+    )
     return p
 
 
@@ -91,6 +106,20 @@ def main(argv: list[str] | None = None) -> int:
     except Exception as e:
         log.error("Could not read distorted : %s", e)
         return 1
+
+    if args.color_matrix or args.color_transfer or args.color_range:
+        from turbo_metrics_tpu.io.frame_source import ColorOverrideSource
+
+        def wrap(src):
+            return ColorOverrideSource(
+                src,
+                matrix=args.color_matrix,
+                transfer=args.color_transfer,
+                crange=args.color_range,
+            )
+
+        source_ref = wrap(source_ref)
+        source_dis = wrap(source_dis)
 
     for name, src in (("reference", source_ref), ("distorted", source_dis)):
         cc, crange = src.color_characteristics()

@@ -92,3 +92,83 @@ class FrameSource(abc.ABC):
 
     def close(self) -> None:  # pragma: no cover - default no-op
         pass
+
+
+class ColorOverrideSource(FrameSource):
+    """Wrap a source, overriding its colour metadata (CLI --color-* flags).
+
+    Needed for containers that cannot signal colour (e.g. HDR content in
+    Y4M, which has no colour metadata at all).
+    """
+
+    _MATRIX = {
+        "bt709": ("BT709", "BT709"),
+        "bt601_525": ("BT601_525", "BT601_525"),
+        "bt601_625": ("BT601_625", "BT601_625"),
+        "bt2020": ("BT2020", "BT2020_NCL"),
+    }
+    _TRANSFER = {
+        "bt709": "BT709",
+        "srgb": "SRGB",
+        "pq": "PQ",
+        "hlg": "HLG",
+        "linear": "LINEAR",
+    }
+
+    def __init__(
+        self,
+        inner: FrameSource,
+        *,
+        matrix: Optional[str] = None,
+        transfer: Optional[str] = None,
+        crange: Optional[str] = None,
+    ):
+        self._inner = inner
+        self._matrix = matrix
+        self._transfer = transfer
+        self._crange = crange
+
+    def format_id(self) -> FormatIdentifier:
+        return self._inner.format_id()
+
+    @property
+    def width(self) -> int:
+        return self._inner.width
+
+    @property
+    def height(self) -> int:
+        return self._inner.height
+
+    def color_characteristics(self):
+        from turbo_metrics_tpu.color.characteristics import (
+            ColourPrimaries,
+            MatrixCoefficients,
+            TransferCharacteristic,
+        )
+
+        cc, crange = self._inner.color_characteristics()
+        cp, mc, tc = cc.cp, cc.mc, cc.tc
+        if self._matrix:
+            cp_name, mc_name = self._MATRIX[self._matrix]
+            cp = ColourPrimaries[cp_name]
+            mc = MatrixCoefficients[mc_name]
+        if self._transfer:
+            tc = TransferCharacteristic[self._TRANSFER[self._transfer]]
+        if self._crange:
+            crange = self._crange
+        return ColorCharacteristics(cp, mc, tc), crange
+
+    def frame_count(self) -> int:
+        return self._inner.frame_count()
+
+    def skip_frames(self, n: int) -> None:
+        self._inner.skip_frames(n)
+
+    def next_frame(self) -> Optional[RawFrame]:
+        f = self._inner.next_frame()
+        if f is not None and self._crange is not None:
+            f.full_range = self._crange == "full"
+        return f
+
+    def close(self) -> None:
+        self._inner.close()

@@ -33,9 +33,9 @@ NUM_SCALES = 6
 
 
 def default_backend() -> str:
-    """'pallas' on TPU, 'jnp' elsewhere (CPU tests, interpret runs)."""
+    """Fused Pallas path on TPU, plain jnp elsewhere (CPU tests)."""
     try:
-        return "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+        return "pallas2" if jax.devices()[0].platform == "tpu" else "jnp"
     except Exception:  # pragma: no cover
         return "jnp"
 
@@ -62,6 +62,27 @@ def ssimulacra2_subscores(
     """
     if backend == "auto":
         backend = default_backend()
+
+    if backend in ("pallas2", "interpret2"):
+        # Fully fused path: XYB + blur + maps + sums + next-level downscale
+        # in one kernel per scale (ops/pallas/scale_stats.py v2).
+        from turbo_metrics_tpu.ops.pallas.scale_stats import (
+            fused_scale_pallas,
+            norms_from_sums,
+        )
+
+        interp = backend == "interpret2"
+        per_scale = []
+        for s in range(num_scales):
+            h, w = lin_ref.shape[-2], lin_ref.shape[-1]
+            sums, ds1, ds2 = fused_scale_pallas(
+                lin_ref, lin_dis, emit_ds=s < num_scales - 1, interpret=interp
+            )
+            per_scale.append(norms_from_sums(sums, h * w))
+            if s < num_scales - 1:
+                lin_ref, lin_dis = ds1, ds2
+        return jnp.stack(per_scale, axis=2)
+
     per_scale = []
     for s in range(num_scales):
         if s:

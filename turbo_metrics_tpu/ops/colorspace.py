@@ -97,10 +97,12 @@ def pq_eotf(v: jax.Array, *, peak_nits: float = 10000.0, norm_nits: float = 1000
     c1 = np.float32(3424.0 / 4096.0)
     c2 = np.float32(2413.0 / 4096.0 * 32.0)
     c3 = np.float32(2392.0 / 4096.0 * 32.0)
-    v = jnp.maximum(v, 0.0)
+    # PQ is defined on [0, 1] code values; out-of-range excursions (limited
+    # range + chroma overshoot) would drive the denominator negative.
+    v = jnp.clip(v, 0.0, 1.0)
     p = jnp.power(v, np.float32(1.0) / m2)
     num = jnp.maximum(p - c1, 0.0)
-    den = c2 - c3 * p
+    den = jnp.maximum(c2 - c3 * p, np.float32(1e-6))
     y = jnp.power(num / den, np.float32(1.0) / m1)  # in units of 10000 nits
     return y * np.float32(peak_nits / norm_nits)
 

@@ -224,3 +224,266 @@ def norms_from_sums(sums: jax.Array, npx: int) -> jax.Array:
     n1 = sums[..., 0::2] * inv  # (B, 3, 3): d, art, det 1-norms
     n4 = jnp.sqrt(jnp.sqrt(sums[..., 1::2] * inv))
     return jnp.stack([n1, n4], axis=-2)  # (B, 3, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# v2: XYB conversion and the 2x downscale folded into the kernel
+# ---------------------------------------------------------------------------
+
+from turbo_metrics_tpu.ops.xyb import (  # noqa: E402
+    OPSIN_ABSORBANCE_BIAS,
+    OPSIN_ABSORBANCE_BIAS_ROOT,
+    OPSIN_ABSORBANCE_MATRIX,
+)
+
+
+def _xyb_in_kernel(r: jax.Array, g: jax.Array, b: jax.Array):
+    """linear RGB -> positive-shifted XYB, identical math to ops/xyb.py."""
+    m = OPSIN_ABSORBANCE_MATRIX
+    bias = OPSIN_ABSORBANCE_BIAS
+    root = OPSIN_ABSORBANCE_BIAS_ROOT
+    rmix = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b + bias
+    gmix = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b + bias
+    bmix = m[2, 0] * r + m[2, 1] * g + m[2, 2] * b + bias
+    # Mosaic has no cbrt primitive; pow(x, 1/3) is exact enough (inputs are
+    # >= the opsin bias > 0, pow stays finite; relative error ~1e-7).
+    third = np.float32(1.0 / 3.0)
+    rg = jnp.power(jnp.maximum(rmix, 0.0), third) - root
+    gr = jnp.power(jnp.maximum(gmix, 0.0), third) - root
+    bb = jnp.power(jnp.maximum(bmix, 0.0), third) - root
+    x = 0.5 * (rg - gr)
+    y = 0.5 * (rg + gr)
+    return (
+        x * np.float32(14.0) + np.float32(0.42),
+        y + np.float32(0.01),
+        bb - y + np.float32(0.55),
+    )
+
+
+def _fused_scale_kernel(
+    lin1_hbm,
+    lin2_hbm,
+    out_ref,
+    ds1_ref,
+    ds2_ref,
+    t1,
+    t2,
+    sems,
+    *,
+    h: int,
+    w: int,
+    tile_h: int,
+    tile_w: int,
+    taps: tuple[float, ...],
+    emit_ds: bool,
+):
+    p = pl.program_id(0)
+    th = pl.program_id(1)
+    tw = pl.program_id(2)
+    r = RADIUS
+
+    row0 = pl.multiple_of(th * tile_h, 8)
+    col0 = pl.multiple_of(tw * tile_w, 128)
+    rows = tile_h + 2 * _ROW_HALO
+    cols = tile_w + 2 * _COL_HALO
+    dma1 = pltpu.make_async_copy(
+        lin1_hbm.at[p, :, pl.ds(row0, rows), pl.ds(col0, cols)], t1, sems.at[0]
+    )
+    dma2 = pltpu.make_async_copy(
+        lin2_hbm.at[p, :, pl.ds(row0, rows), pl.ds(col0, cols)], t2, sems.at[1]
+    )
+    dma1.start()
+    dma2.start()
+    dma1.wait()
+    dma2.wait()
+
+    tp = [jnp.float32(v) for v in taps]
+
+    # Validity mask over the padded tile: out-of-image pixels must be exactly
+    # zero in XYB space (the reference blurs zero-padded XYB planes).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=1)
+    gr_ids = row_ids + row0 - _ROW_HALO
+    gc_ids = col_ids + col0 - _COL_HALO
+    valid = (
+        (gr_ids >= 0) & (gr_ids < h) & (gc_ids >= 0) & (gc_ids < w)
+    ).astype(jnp.float32)
+
+    xybs = []
+    for t in (t1, t2):
+        x, y, bb = _xyb_in_kernel(t[0], t[1], t[2])
+        xybs.append((x * valid, y * valid, bb * valid))
+
+    # Downscale the *linear* tile (2x2 mean) for the next pyramid level.
+    # The zero padding stands in for the reference's edge replication; the
+    # fixup doubles the last row/col sums when h or w is odd (exact in FP:
+    # scaling by powers of two).
+    if emit_ds:
+        dh, dw = tile_h // 2, tile_w // 2
+        ds_row = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), dimension=0) + row0 // 2
+        ds_col = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), dimension=1) + col0 // 2
+        fix = jnp.ones((dh, dw), jnp.float32)
+        if h % 2:
+            fix = jnp.where(ds_row == (h - 1) // 2, fix * 2.0, fix)
+        if w % 2:
+            fix = jnp.where(ds_col == (w - 1) // 2, fix * 2.0, fix)
+        for t, ds_ref in ((t1, ds1_ref), (t2, ds2_ref)):
+            for c in range(3):
+                q = jax.lax.slice(
+                    t[c] * valid,
+                    (_ROW_HALO, _COL_HALO),
+                    (_ROW_HALO + tile_h, _COL_HALO + tile_w),
+                )
+                quad = (
+                    jax.lax.slice(q, (0, 0), (tile_h, tile_w), (2, 2))
+                    + jax.lax.slice(q, (0, 1), (tile_h, tile_w), (2, 2))
+                    + jax.lax.slice(q, (1, 0), (tile_h, tile_w), (2, 2))
+                    + jax.lax.slice(q, (1, 1), (tile_h, tile_w), (2, 2))
+                )
+                ds_ref[0, c] = quad * np.float32(0.25) * fix
+
+    @pl.when((th == 0) & (tw == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    one = jnp.float32(1.0)
+    for c in range(3):
+        a = xybs[0][c]
+        b = xybs[1][c]
+        blurred = []
+        for q in (a, b, a * a, b * b, a * b):
+            qw = _blur_w(q, tp, _COL_HALO - r, tile_w)
+            blurred.append(_blur_h(qw, tp, _ROW_HALO - r, tile_h))
+        mu1, mu2, s11, s22, s12 = blurred
+
+        i1 = jax.lax.slice(
+            a, (_ROW_HALO, _COL_HALO), (_ROW_HALO + tile_h, _COL_HALO + tile_w)
+        )
+        i2 = jax.lax.slice(
+            b, (_ROW_HALO, _COL_HALO), (_ROW_HALO + tile_h, _COL_HALO + tile_w)
+        )
+
+        mu12 = mu1 * mu2
+        mu_diff = mu1 - mu2
+        num_m = one - mu_diff * mu_diff
+        num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+        denom_s = (s11 - mu1 * mu1) + (s22 - mu2 * mu2) + C2
+        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+
+        aa = jnp.abs(i2 - mu2)
+        bb2 = jnp.abs(i1 - mu1)
+        d1 = (aa - bb2) / (one + bb2)
+        art = jnp.maximum(d1, 0.0)
+        det = jnp.maximum(-d1, 0.0)
+
+        mask = jax.lax.slice(
+            valid, (_ROW_HALO, _COL_HALO), (_ROW_HALO + tile_h, _COL_HALO + tile_w)
+        )
+        d = d * mask
+        art = art * mask
+        det = det * mask
+        d2 = d * d
+        art2 = art * art
+        det2 = det * det
+        partial = jnp.stack(
+            [
+                jnp.sum(d),
+                jnp.sum(d2 * d2),
+                jnp.sum(art),
+                jnp.sum(art2 * art2),
+                jnp.sum(det),
+                jnp.sum(det2 * det2),
+                jnp.float32(0.0),
+                jnp.float32(0.0),
+            ]
+        )
+        out_ref[0, c, :] += partial
+
+
+def fused_scale_pallas(
+    lin1: jax.Array,
+    lin2: jax.Array,
+    *,
+    emit_ds: bool = True,
+    interpret: bool = False,
+):
+    """One fused pass over a pyramid level: linear RGB in, (sums, ds1, ds2) out.
+
+    ``lin1``/``lin2``: (B, 3, h, w) f32 linear RGB for the current scale.
+    Returns (sums (B, 3, 6), ds1, ds2 (B, 3, ceil(h/2), ceil(w/2))); the
+    downscaled outputs are the next level's linear inputs (None when
+    ``emit_ds`` is False).
+    """
+    bsz, ch, h, w = lin1.shape
+    assert ch == 3
+    tile_h = min(TILE_H, _round_up(h, 8))
+    tile_w = min(TILE_W, _round_up(w, 128))
+    nth = -(-h // tile_h)
+    ntw = -(-w // tile_w)
+    hp = _ROW_HALO + nth * tile_h + _ROW_HALO
+    wp = _COL_HALO + ntw * tile_w + _COL_HALO
+
+    def pad(x):
+        return jnp.pad(
+            x,
+            (
+                (0, 0),
+                (0, 0),
+                (_ROW_HALO, hp - h - _ROW_HALO),
+                (_COL_HALO, wp - w - _COL_HALO),
+            ),
+        )
+
+    p1 = pad(lin1)
+    p2 = pad(lin2)
+    taps = tuple(float(v) for v in gaussian_taps())
+
+    dh, dw = tile_h // 2, tile_w // 2
+    kernel = functools.partial(
+        _fused_scale_kernel,
+        h=h,
+        w=w,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        taps=taps,
+        emit_ds=emit_ds,
+    )
+    out, ds1, ds2 = pl.pallas_call(
+        kernel,
+        grid=(bsz, nth, ntw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 8, 8), lambda p, th, tw: (p, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, dh, dw),
+                lambda p, th, tw: (p, 0, th, tw),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, dh, dw),
+                lambda p, th, tw: (p, 0, th, tw),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, 8, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 3, nth * dh, ntw * dw), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 3, nth * dh, ntw * dw), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, tile_h + 2 * _ROW_HALO, tile_w + 2 * _COL_HALO), jnp.float32),
+            pltpu.VMEM((3, tile_h + 2 * _ROW_HALO, tile_w + 2 * _COL_HALO), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(p1, p2)
+    sums = out[:, :3, :6]
+    if not emit_ds:
+        return sums, None, None
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    return sums, ds1[:, :, :h2, :w2], ds2[:, :, :h2, :w2]
