@@ -61,3 +61,26 @@ def test_prefetcher(tmp_path, rng):
     batches = list(pf)
     assert [len(b[0]) for b in batches] == [3, 3, 1]
     np.testing.assert_array_equal(batches[0][0][0].y, frames[0][0].astype(np.uint8))
+
+
+def test_width_sharded_scores_match(rng):
+    """SP analog: shard one frame's columns across chips; XLA inserts the
+    halo exchanges for the blur's shifted slices automatically."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    import functools
+
+    from turbo_metrics_tpu.models.ssimulacra2 import ssimulacra2_subscores
+    from turbo_metrics_tpu.parallel.mesh import make_mesh, shard_over_width
+
+    b, h, w = 1, 64, 512  # width divisible by 4 chips
+    ref = rng.random((b, 3, h, w), dtype=np.float64).astype(np.float32)
+    dis = np.clip(ref + rng.normal(0, 0.05, ref.shape).astype(np.float32), 0, 1)
+    fn = functools.partial(ssimulacra2_subscores, num_scales=3, backend="jnp")
+
+    single = np.asarray(jax.jit(fn)(ref, dis))
+    mesh = make_mesh(4)
+    sharded = np.asarray(shard_over_width(fn, mesh, in_ndims=(4, 4))(ref, dis))
+    np.testing.assert_allclose(single, sharded, atol=2e-5, rtol=2e-5)

@@ -58,11 +58,17 @@ def _probe_stream(f: BinaryIO, path: Optional[str]) -> FrameSource:
         tmp.flush()
         path = tmp.name
     f.close()
-    if not native_available():
-        raise RuntimeError(
-            "video input requires the native demuxer (native/libturbodemux.so)"
-        )
-    return NativeVideoSource(path)
+    if native_available():
+        return NativeVideoSource(path)
+    # Fallback decode backend (lower colour fidelity; see opencv_source.py).
+    from turbo_metrics_tpu.io.opencv_source import OpenCvVideoSource, opencv_available
+
+    if opencv_available():
+        return OpenCvVideoSource(path)
+    raise RuntimeError(
+        "video input requires the native demuxer (native/libturbodemux.so) "
+        "or OpenCV as a fallback"
+    )
 
 
 def _suffix_for(prefix: bytes) -> str:

@@ -53,6 +53,25 @@ def shard_over_frames(
     return jax.jit(fn, in_shardings=in_shardings)
 
 
+def spatial_sharding(mesh: Mesh, ndim: int, *, axis: str = FRAME_AXIS) -> NamedSharding:
+    """Shard the width (last) axis across the mesh — the SP analog.
+
+    For a single huge frame (8K stills) the batch axis may be 1; sharding W
+    instead splits one frame's columns across chips.  The separable blurs'
+    shifted slices make XLA's SPMD partitioner insert halo exchanges
+    (collective-permute over ICI) automatically — no manual ring code.
+    """
+    spec = [None] * ndim
+    spec[-1] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_over_width(fn, mesh: Mesh, *, in_ndims: Sequence[int], axis: str = FRAME_AXIS):
+    """jit ``fn`` with every input's width axis sharded over the mesh."""
+    in_shardings = tuple(spatial_sharding(mesh, nd, axis=axis) for nd in in_ndims)
+    return jax.jit(fn, in_shardings=in_shardings)
+
+
 def pad_batch_to_mesh(arr: np.ndarray, mesh: Mesh) -> tuple[np.ndarray, int]:
     """Pad the batch dim to a multiple of the mesh size (repeat last frame).
 
