@@ -151,6 +151,15 @@ int tm_next_frame(TmHandle* h, uint8_t* y, uint8_t* u, uint8_t* v) {
         av_packet_unref(h->pkt);
     }
     AVFrame* f = h->frame;
+    // Mid-stream resolution change: caller buffers no longer fit.  Report a
+    // distinct code so the Python side can surface it (the reference's
+    // decoder reconfiguration path, cudarse-video dec.rs:172-195, is also
+    // only partially supported).
+    AVStream* st = h->fmt->streams[h->stream_index];
+    if (f->width != st->codecpar->width || f->height != st->codecpar->height) {
+        av_frame_unref(f);
+        return -3;
+    }
     const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get((AVPixelFormat)f->format);
     int bytes = desc->comp[0].depth > 8 ? 2 : 1;
     copy_plane(f->data[0], f->linesize[0], y, f->width, f->height, bytes);

@@ -208,6 +208,11 @@ class TurboMetrics:
         self._prev_ref: Optional[np.ndarray] = None  # XPSNR temporal state
         self._vmaf_prev_blur: Optional[np.ndarray] = None  # motion state
 
+    def reset_stream_state(self) -> None:
+        """Clear temporal state before scoring a new clip with this engine."""
+        self._prev_ref = None
+        self._vmaf_prev_blur = None
+
     # -- device program ----------------------------------------------------
 
     def _get_step(self, spec_ref: ConvertSpec, spec_dis: ConvertSpec):
@@ -386,13 +391,17 @@ class TurboMetrics:
         frames_dis: FrameSource,
         opts: Options = Options(),
         on_frame: Optional[Callable[[FrameScores], None]] = None,
+        *,
+        prefetch: bool = True,
     ) -> MetricsResults:
         """Drive both sources to exhaustion (turbo-metrics/src/lib.rs:362-433).
 
         Frame subsetting (every/skip/frames) matches the reference's loop
         semantics exactly.  Pairs are accumulated into batches of
         ``self.batch`` before dispatch; ``on_frame`` is called per frame pair
-        in order.
+        in order.  With ``prefetch`` a background thread decodes the next
+        batch while the device crunches the current one (the TPU analog of
+        the reference's stream-ordered decode/compute overlap).
         """
         if (frames_ref.width, frames_ref.height) != (frames_dis.width, frames_dis.height):
             raise ValueError("Reference and distorted are not the same size")
@@ -413,15 +422,11 @@ class TurboMetrics:
         frames_ref.skip_frames(opts.skip_ref + opts.skip)
         frames_dis.skip_frames(opts.skip_dis + opts.skip)
 
-        pend_ref: list[RawFrame] = []
-        pend_dis: list[RawFrame] = []
         compute_count = 0
 
-        def flush():
+        def consume(batch_ref: list[RawFrame], batch_dis: list[RawFrame]):
             nonlocal compute_count
-            if not pend_ref:
-                return
-            batch_scores = self.compute_frames(pend_ref, cc_ref, pend_dis, cc_dis)
+            batch_scores = self.compute_frames(batch_ref, cc_ref, batch_dis, cc_dis)
             for s in batch_scores:
                 for name, lst in acc.items():
                     v = getattr(s, name)
@@ -430,26 +435,41 @@ class TurboMetrics:
                 if on_frame is not None:
                     on_frame(s)
             compute_count += len(batch_scores)
-            pend_ref.clear()
-            pend_dis.clear()
 
-        decode_count = 0
-        while True:
-            fref = frames_ref.next_frame()
-            fdis = frames_dis.next_frame()
-            if fref is None or fdis is None:
-                break
-            if opts.every > 1 and decode_count != 0 and decode_count % opts.every != 0:
+        if prefetch:
+            from turbo_metrics_tpu.parallel.streaming import FramePrefetcher
+
+            batches = FramePrefetcher(
+                frames_ref,
+                frames_dis,
+                batch=self.batch,
+                every=opts.every,
+                frames=opts.frames,
+            )
+            for batch_ref, batch_dis in batches:
+                consume(batch_ref, batch_dis)
+        else:
+            pend_ref: list[RawFrame] = []
+            pend_dis: list[RawFrame] = []
+            decode_count = 0
+            while True:
+                fref = frames_ref.next_frame()
+                fdis = frames_dis.next_frame()
+                if fref is None or fdis is None:
+                    break
+                if opts.every > 1 and decode_count != 0 and decode_count % opts.every != 0:
+                    decode_count += 1
+                    continue
+                if opts.frames > 0 and decode_count >= opts.frames:
+                    break
                 decode_count += 1
-                continue
-            if opts.frames > 0 and decode_count >= opts.frames:
-                break
-            decode_count += 1
-            pend_ref.append(fref)
-            pend_dis.append(fdis)
-            if len(pend_ref) >= self.batch:
-                flush()
-        flush()
+                pend_ref.append(fref)
+                pend_dis.append(fdis)
+                if len(pend_ref) >= self.batch:
+                    consume(pend_ref, pend_dis)
+                    pend_ref, pend_dis = [], []
+            if pend_ref:
+                consume(pend_ref, pend_dis)
 
         return MetricsResults(
             frame_count=compute_count,

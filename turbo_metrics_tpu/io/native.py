@@ -163,6 +163,10 @@ class NativeVideoSource(FrameSource):
         )
         if ret == 0:
             return None
+        if ret == -3:
+            raise RuntimeError(
+                "mid-stream resolution change is not supported yet"
+            )
         if ret < 0:
             raise RuntimeError(f"decode error ({ret})")
         y = self._ybuf.copy()
