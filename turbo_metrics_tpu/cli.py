@@ -133,12 +133,18 @@ def main(argv: list[str] | None = None) -> int:
         log.error("Reference and distorted are not the same size")
         return 1
 
+    batch = args.batch or None
+    total_hint = max(source_ref.frame_count(), source_dis.frame_count())
+    if batch is None and total_hint:
+        from turbo_metrics_tpu.engine import default_batch
+
+        batch = min(default_batch(source_ref.width, source_ref.height), total_hint)
     try:
         turbo = TurboMetrics(
             source_ref.width,
             source_ref.height,
             metrics,
-            batch=args.batch or None,
+            batch=batch,
         )
     except Exception as e:
         log.error("Could not initialize engine : %s", e)

@@ -297,6 +297,15 @@ class TurboMetrics:
         """Compute all selected metrics for a batch of frame pairs."""
         assert len(ref_frames) == len(dis_frames) and ref_frames
         n = len(ref_frames)
+        # Pad partial batches to the full batch size by repeating the last
+        # frame: one compiled program per input spec instead of one per batch
+        # size (XLA compiles take seconds-to-minutes at 1080p).  Streaming
+        # state stays correct because the padding *is* the last real frame;
+        # padded scores are sliced off below.
+        if n < self.batch:
+            pad = self.batch - n
+            ref_frames = ref_frames + [ref_frames[-1]] * pad
+            dis_frames = dis_frames + [dis_frames[-1]] * pad
         ref_arrays, f_ref = self._stack(ref_frames)
         dis_arrays, f_dis = self._stack(dis_frames)
         spec_ref = ConvertSpec.for_frame(f_ref, *cc_ref)

@@ -327,6 +327,17 @@ def _fused_scale_kernel(
             fix = jnp.where(ds_row == (h - 1) // 2, fix * 2.0, fix)
         if w % 2:
             fix = jnp.where(ds_col == (w - 1) // 2, fix * 2.0, fix)
+        # Mosaic has no strided vector slices; the 2x2 pair sums ride the MXU
+        # instead via 0/1 summing matrices (exact: each output is two f32
+        # adds, the 1.0 weights and zero terms do not round).
+        t_rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (dh, tile_h), dimension=1) // 2
+            == jax.lax.broadcasted_iota(jnp.int32, (dh, tile_h), dimension=0)
+        ).astype(jnp.float32)
+        s_cols = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw), dimension=0) // 2
+            == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw), dimension=1)
+        ).astype(jnp.float32)
         for t, ds_ref in ((t1, ds1_ref), (t2, ds2_ref)):
             for c in range(3):
                 q = jax.lax.slice(
@@ -334,12 +345,8 @@ def _fused_scale_kernel(
                     (_ROW_HALO, _COL_HALO),
                     (_ROW_HALO + tile_h, _COL_HALO + tile_w),
                 )
-                quad = (
-                    jax.lax.slice(q, (0, 0), (tile_h, tile_w), (2, 2))
-                    + jax.lax.slice(q, (0, 1), (tile_h, tile_w), (2, 2))
-                    + jax.lax.slice(q, (1, 0), (tile_h, tile_w), (2, 2))
-                    + jax.lax.slice(q, (1, 1), (tile_h, tile_w), (2, 2))
-                )
+                pair_w = jnp.dot(q, s_cols, preferred_element_type=jnp.float32)
+                quad = jnp.dot(t_rows, pair_w, preferred_element_type=jnp.float32)
                 ds_ref[0, c] = quad * np.float32(0.25) * fix
 
     @pl.when((th == 0) & (tw == 0))
