@@ -35,7 +35,7 @@ from turbo_metrics_tpu.ops.ssim_maps import C2
 
 # Row/column tile sizes (rows: multiple of 8; cols: multiple of 128).
 TILE_H = 128
-TILE_W = 512
+TILE_W = 384
 _ROW_HALO = 8  # aligned halo covering the blur radius of 5
 _COL_HALO = 64
 
