@@ -314,13 +314,14 @@ class TurboMetrics:
 
         # Auxiliary streaming state: previous reference frame (XPSNR temporal
         # activity; the stream's first frame sees itself) and previous blurred
-        # luma (VMAF motion).
+        # luma (VMAF motion).  Built only for the metrics that need it — jit
+        # arguments are uploaded whether the traced fn uses them or not.
         aux: dict = {}
-        lead = ref_arrays[0]
-        prev0 = self._prev_ref if self._prev_ref is not None else lead[0:1]
-        prev_lead = np.concatenate([prev0, lead[:-1]], axis=0)
-        aux["prev_ref"] = (prev_lead,) + tuple(a for a in ref_arrays[1:])
         if self.metrics.xpsnr:
+            lead = ref_arrays[0]
+            prev0 = self._prev_ref if self._prev_ref is not None else lead[0:1]
+            prev_lead = np.concatenate([prev0, lead[:-1]], axis=0)
+            aux["prev_ref"] = (prev_lead,) + tuple(a for a in ref_arrays[1:])
             self._prev_ref = np.array(lead[-1:])
         vmaf_first = False
         if self.metrics.vmaf:

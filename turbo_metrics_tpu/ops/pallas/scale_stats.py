@@ -35,7 +35,7 @@ from turbo_metrics_tpu.ops.ssim_maps import C2
 
 # Row/column tile sizes (rows: multiple of 8; cols: multiple of 128).
 TILE_H = 128
-TILE_W = 384
+TILE_W = 512
 _ROW_HALO = 8  # aligned halo covering the blur radius of 5
 _COL_HALO = 64
 
@@ -309,10 +309,31 @@ def _fused_scale_kernel(
         (gr_ids >= 0) & (gr_ids < h) & (gc_ids >= 0) & (gc_ids < w)
     ).astype(jnp.float32)
 
-    xybs = []
-    for t in (t1, t2):
-        x, y, bb = _xyb_in_kernel(t[0], t[1], t[2])
-        xybs.append((x * valid, y * valid, bb * valid))
+    def xyb_channel(t, c):
+        """One masked XYB channel, recomputed on demand.
+
+        Recomputes the opsin mixes per channel (7 pows/image instead of 3)
+        so no full XYB planes stay live across the channel loop — that is
+        what lets the tile fit VMEM at 128x512.
+        """
+        m = OPSIN_ABSORBANCE_MATRIX
+        bias = OPSIN_ABSORBANCE_BIAS
+        root = OPSIN_ABSORBANCE_BIAS_ROOT
+        third = np.float32(1.0 / 3.0)
+        r_, g_, b_ = t[0], t[1], t[2]
+
+        def mix(row):
+            v = m[row, 0] * r_ + m[row, 1] * g_ + m[row, 2] * b_ + bias
+            return jnp.power(jnp.maximum(v, 0.0), third) - root
+
+        if c == 0:
+            val = (mix(0) - mix(1)) * np.float32(0.5) * np.float32(14.0) + np.float32(0.42)
+        elif c == 1:
+            val = (mix(0) + mix(1)) * np.float32(0.5) + np.float32(0.01)
+        else:
+            y = (mix(0) + mix(1)) * np.float32(0.5)
+            val = mix(2) - y + np.float32(0.55)
+        return val * valid
 
     # Downscale the *linear* tile (2x2 mean) for the next pyramid level.
     # The zero padding stands in for the reference's edge replication; the
@@ -355,8 +376,8 @@ def _fused_scale_kernel(
 
     one = jnp.float32(1.0)
     for c in range(3):
-        a = xybs[0][c]
-        b = xybs[1][c]
+        a = xyb_channel(t1, c)
+        b = xyb_channel(t2, c)
         blurred = []
         for q in (a, b, a * a, b * b, a * b):
             qw = _blur_w(q, tp, _COL_HALO - r, tile_w)
