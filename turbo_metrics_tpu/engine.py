@@ -11,7 +11,7 @@ host; the 108-weight SSIMULACRA2 post-processing runs on host in f64.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import jax
@@ -490,9 +490,10 @@ class TurboMetrics:
 def default_batch(width: int, height: int) -> int:
     """Pick a frame batch size that keeps the device busy without blowing HBM.
 
-    Budget ~0.75 GiB of working set at 270 bytes/pixel (the reference's
-    measured SSIMULACRA2 footprint, ssimulacra2-cuda/src/lib.rs:21-24).
+    The fused Pallas pipeline's working set is ~160 bytes/pixel per frame
+    pair (padded linear planes + pyramid + XLA slack); measured throughput
+    is flat beyond batch ~8, so cap there and keep a ~4 GiB budget.
     """
-    per_frame = 270 * width * height
-    budget = 768 << 20
-    return int(np.clip(budget // max(per_frame, 1), 1, 16))
+    per_pair = 160 * width * height
+    budget = 4 << 30
+    return int(np.clip(budget // max(per_pair, 1), 1, 8))

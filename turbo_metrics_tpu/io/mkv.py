@@ -8,7 +8,7 @@ packets in decode order (SimpleBlock + BlockGroup, all three lacing modes).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import BinaryIO, Iterator, Optional
 
 EBML_MAGIC = b"\x1a\x45\xdf\xa3"
@@ -51,6 +51,12 @@ CODEC_IDS = {
 
 
 def _read_vint(f: BinaryIO, keep_marker: bool) -> Optional[int]:
+    v = _read_vint_len(f, keep_marker)
+    return None if v is None else v[0]
+
+
+def _read_vint_len(f: BinaryIO, keep_marker: bool) -> Optional[tuple[int, int]]:
+    """Read an EBML vint; returns (value, total byte length)."""
     first = f.read(1)
     if not first:
         return None
@@ -64,7 +70,7 @@ def _read_vint(f: BinaryIO, keep_marker: bool) -> Optional[int]:
         return None
     for b in rest:
         value = (value << 8) | b
-    return value
+    return value, length + 1
 
 
 def _read_element(f: BinaryIO) -> Optional[tuple[int, int]]:
@@ -289,11 +295,9 @@ class MkvDemuxer:
             first = _read_vint(bf, keep_marker=False)
             sizes.append(first)
             for _ in range(nframes - 2):
-                delta = _read_vint(bf, keep_marker=True)
-                # signed vint: subtract bias
-                blen = (delta.bit_length() + 6) // 7
-                raw = _read_signed_lace(delta)
-                sizes.append(sizes[-1] + raw)
+                # Deltas are *signed* vints: value - (2^(7*len-1) - 1).
+                val, nbytes = _read_vint_len(bf, keep_marker=False)
+                sizes.append(sizes[-1] + val - ((1 << (7 * nbytes - 1)) - 1))
             sizes.append(len(data) - bf.tell() - sum(sizes))
         pos = bf.tell()
         for s in sizes:
@@ -301,13 +305,6 @@ class MkvDemuxer:
             pos += s
 
 
-def _read_signed_lace(vint_with_marker: int) -> int:
-    """EBML lace size deltas are signed vints: value - (2^(7b-1) - 1)."""
-    nbytes = (vint_with_marker.bit_length() + 7) // 8
-    marker = 1 << (nbytes * 8 - nbytes)  # marker bit position approximation
-    value = vint_with_marker & (marker - 1)
-    bias = (1 << (7 * nbytes - 1)) - 1
-    return value - bias
 
 
 def _iter_children(data: bytes) -> Iterator[tuple[int, bytes]]:

@@ -12,10 +12,7 @@ from typing import BinaryIO, Optional
 
 import numpy as np
 
-from turbo_metrics_tpu.color.characteristics import (
-    ColorCharacteristics,
-    height_fallback,
-)
+from turbo_metrics_tpu.color.characteristics import height_fallback
 from turbo_metrics_tpu.io.frame_source import FormatIdentifier, FrameSource, RawFrame
 
 Y4M_MAGIC = b"YUV4MPEG2"

@@ -324,7 +324,14 @@ def _fused_scale_kernel(
 
         def mix(row):
             v = m[row, 0] * r_ + m[row, 1] * g_ + m[row, 2] * b_ + bias
-            return jnp.power(jnp.maximum(v, 0.0), third) - root
+            v = jnp.maximum(v, 0.0)
+            # Mosaic has no cbrt; pow(x, 1/3) alone costs ~1e-6 relative
+            # (measurably ~0.03 on the final score), so refine with one
+            # Newton step: y <- (2y + v/y^2)/3.  v >= opsin bias > 0 always
+            # (zero padding included), so the division is safe.
+            y0 = jnp.power(v, third)
+            y1 = (np.float32(2.0) * y0 + v / (y0 * y0)) * third
+            return y1 - root
 
         if c == 0:
             val = (mix(0) - mix(1)) * np.float32(0.5) * np.float32(14.0) + np.float32(0.42)

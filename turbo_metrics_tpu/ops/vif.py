@@ -23,7 +23,6 @@ Inputs are luma code values normalised to the 8-bit range.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ Contract parity with the reference CLI (turbo-metrics-cli/src/output.rs:6-143):
 from __future__ import annotations
 
 import json
-import sys
 from enum import Enum
 from typing import Optional
 

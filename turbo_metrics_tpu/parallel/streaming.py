@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterator, Optional
+from typing import Iterator, Optional
 
-import numpy as np
 
 from turbo_metrics_tpu.io.frame_source import FrameSource, RawFrame
 
