@@ -188,3 +188,29 @@ def test_probe_image_and_video(tmp_path, vp9_mkv, rng):
     path, _, (w, h) = vp9_mkv
     vsrc = create_source(path)
     assert (vsrc.width, vsrc.height) == (w, h)
+
+
+def test_mkv_ebml_lacing_sizes():
+    """Synthetic SimpleBlock with EBML lacing: signed-vint deltas decode."""
+    import io as _io
+
+    from turbo_metrics_tpu.io.mkv import MkvDemuxer, MkvPacket
+
+    # Build a block payload: track 1 (vint 0x81), ts 0, flags lacing=EBML(0x06)
+    # 3 frames: sizes 500, 500+(-100)=400, remainder.
+    frames = [b"a" * 500, b"b" * 400, b"c" * 123]
+    first_size = bytes([0x40 | (500 >> 8), 500 & 0xFF])  # 2-byte vint = 500
+    # delta -100 as signed 2-byte vint: value = -100 + (2^13 - 1) = 8091
+    delta = 8091
+    delta_vint = bytes([0x40 | (delta >> 8), delta & 0xFF])
+    block = (
+        b"\x81" + b"\x00\x00" + bytes([0x86]) + bytes([2])  # 3 frames
+        + first_size + delta_vint + b"".join(frames)
+    )
+    demux = MkvDemuxer.__new__(MkvDemuxer)
+    demux.timestamp_scale = 1
+    demux._cluster_ts = 0
+    pkts = list(demux._parse_block(block, 1, simple=True))
+    assert [len(p.data) for p in pkts] == [500, 400, 123]
+    assert pkts[0].data == frames[0]
+    assert pkts[2].data == frames[2]

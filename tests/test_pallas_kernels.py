@@ -70,3 +70,38 @@ def test_fused_v2_matches_jnp(rng, hw):
     # 2x2-mean summation order differs (reduce_window vs explicit quad sum),
     # giving ~1e-6 absolute differences on near-zero sub-scores.
     np.testing.assert_allclose(v2_out, jnp_out, rtol=3e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "hw,depth,matrix,transfer,full",
+    [
+        ((48, 64), 8, "bt709", "bt709", False),
+        ((37, 53), 8, "bt601_525", "bt709", True),
+        ((32, 32), 10, "bt2020", "pq", False),
+    ],
+)
+def test_pallas_yuv_convert_matches_jnp(rng, hw, depth, matrix, transfer, full):
+    from turbo_metrics_tpu.ops import colorspace
+    from turbo_metrics_tpu.ops.pallas.convert import yuv420_to_linear_rgb_pallas
+
+    h, w = hw
+    hi = (1 << depth) - 1
+    dtype = np.uint8 if depth == 8 else np.uint16
+    y = rng.integers(0, hi + 1, (2, h, w), dtype=dtype)
+    uv = rng.integers(0, hi + 1, (2, (h + 1) // 2, (w + 1) // 2, 2), dtype=dtype)
+
+    want = np.asarray(
+        colorspace.yuv420_to_linear_rgb(
+            jnp.asarray(y), jnp.asarray(uv),
+            depth=depth, matrix=matrix, transfer=transfer, full_range=full,
+        )
+    )
+    got = np.asarray(
+        yuv420_to_linear_rgb_pallas(
+            jnp.asarray(y), jnp.asarray(uv),
+            depth=depth, matrix=matrix, transfer=transfer, full_range=full,
+            interpret=True,
+        )
+    )
+    # PQ's steep top end amplifies 1-ulp pre-EOTF differences ~300x.
+    np.testing.assert_allclose(got, want, atol=1e-4 if transfer == "pq" else 3e-6)

@@ -174,6 +174,7 @@ def yuv420_to_linear_rgb(
     matrix: str = "bt709",
     transfer: str = "bt709",
     full_range: bool = False,
+    backend: str = "auto",
 ) -> jax.Array:
     """Biplanar/planar 4:2:0 YCbCr -> linear RGB f32 in [0, 1].
 
@@ -181,8 +182,20 @@ def yuv420_to_linear_rgb(
     chroma (Cb, Cr).  Output: (..., 3, H, W) f32.
 
     TPU-native equivalent of biplanaryuv420_to_linearrgb_* in
-    cuda-colorspace-kernel/src/biplanar.rs:8-70.
+    cuda-colorspace-kernel/src/biplanar.rs:8-70.  On TPU, batched 3-D inputs
+    dispatch to the fused Pallas kernel (ops/pallas/convert.py).
     """
+    if (
+        backend == "auto"
+        and y.ndim == 3
+        and jax.default_backend() == "tpu"
+        and transfer in ("bt709", "srgb", "pq", "hlg", "linear")
+    ):
+        from turbo_metrics_tpu.ops.pallas.convert import yuv420_to_linear_rgb_pallas
+
+        return yuv420_to_linear_rgb_pallas(
+            y, uv, depth=depth, matrix=matrix, transfer=transfer, full_range=full_range
+        )
     kr, kb = MATRIX_KR_KB[matrix]
     rng = sample_range(depth, full_range)
     kg = 1.0 - kr - kb
