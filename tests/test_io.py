@@ -214,3 +214,50 @@ def test_mkv_ebml_lacing_sizes():
     assert [len(p.data) for p in pkts] == [500, 400, 123]
     assert pkts[0].data == frames[0]
     assert pkts[2].data == frames[2]
+
+
+def test_gif_multiframe(tmp_path, rng):
+    from PIL import Image
+
+    from turbo_metrics_tpu.io.probe import create_source
+
+    frames = [(rng.random((16, 16, 3)) * 255).astype(np.uint8) for _ in range(4)]
+    imgs = [Image.fromarray(f) for f in frames]
+    p = tmp_path / "anim.gif"
+    imgs[0].save(p, save_all=True, append_images=imgs[1:], duration=100, loop=0)
+    src = create_source(p)
+    assert src.frame_count() == 4
+    count = 0
+    while (f := src.next_frame()) is not None:
+        assert f.rgb.shape == (16, 16, 3)
+        count += 1
+    assert count == 4
+
+
+def test_16bit_png(tmp_path, rng):
+    from PIL import Image
+
+    from turbo_metrics_tpu.io.probe import create_source
+
+    gray = rng.integers(0, 65536, (12, 14), dtype=np.uint16)
+    p = tmp_path / "t16.png"
+    Image.fromarray(gray, mode="I;16").save(p)
+    src = create_source(p)
+    f = src.next_frame()
+    assert f.depth == 16 and f.rgb.dtype == np.uint16
+    np.testing.assert_array_equal(f.rgb[..., 0], gray)
+
+
+def test_skip_frames_image_source(tmp_path, rng):
+    from PIL import Image
+
+    from turbo_metrics_tpu.io.probe import create_source
+
+    frames = [(rng.random((8, 8, 3)) * 255).astype(np.uint8) for _ in range(3)]
+    imgs = [Image.fromarray(f) for f in frames]
+    p = tmp_path / "a.gif"
+    imgs[0].save(p, save_all=True, append_images=imgs[1:], duration=100)
+    src = create_source(p)
+    src.skip_frames(2)
+    assert src.next_frame() is not None
+    assert src.next_frame() is None

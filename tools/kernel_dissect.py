@@ -92,7 +92,8 @@ def main() -> int:
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        out_ref[0, 0, 0] += acc
+        partial = jnp.stack([acc] + [jnp.float32(0.0)] * 7)
+        out_ref[0, 0, :] += partial
 
     def blur_only(img):
         bsz = img.shape[0] * img.shape[1]

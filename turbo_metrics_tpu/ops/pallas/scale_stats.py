@@ -309,37 +309,36 @@ def _fused_scale_kernel(
         (gr_ids >= 0) & (gr_ids < h) & (gc_ids >= 0) & (gc_ids < w)
     ).astype(jnp.float32)
 
-    def xyb_channel(t, c):
-        """One masked XYB channel, recomputed on demand.
+    def opsin_mix(t, row):
+        """cbrt(opsin mix) - bias_root for one matrix row (3 pows/image).
 
-        Recomputes the opsin mixes per channel (7 pows/image instead of 3)
-        so no full XYB planes stay live across the channel loop — that is
-        what lets the tile fit VMEM at 128x512.
+        Mosaic has no cbrt; pow(x, 1/3) alone costs ~1e-6 relative, so
+        refine with one Newton step: y <- (2y + v/y^2)/3.  v >= the opsin
+        bias > 0 everywhere (zero padding included), so division is safe.
         """
         m = OPSIN_ABSORBANCE_MATRIX
         bias = OPSIN_ABSORBANCE_BIAS
         root = OPSIN_ABSORBANCE_BIAS_ROOT
         third = np.float32(1.0 / 3.0)
-        r_, g_, b_ = t[0], t[1], t[2]
+        v = m[row, 0] * t[0] + m[row, 1] * t[1] + m[row, 2] * t[2] + bias
+        v = jnp.maximum(v, 0.0)
+        y0 = jnp.power(v, third)
+        y1 = (np.float32(2.0) * y0 + v / (y0 * y0)) * third
+        return y1 - root
 
-        def mix(row):
-            v = m[row, 0] * r_ + m[row, 1] * g_ + m[row, 2] * b_ + bias
-            v = jnp.maximum(v, 0.0)
-            # Mosaic has no cbrt; pow(x, 1/3) alone costs ~1e-6 relative
-            # (measurably ~0.03 on the final score), so refine with one
-            # Newton step: y <- (2y + v/y^2)/3.  v >= opsin bias > 0 always
-            # (zero padding included), so the division is safe.
-            y0 = jnp.power(v, third)
-            y1 = (np.float32(2.0) * y0 + v / (y0 * y0)) * third
-            return y1 - root
+    # rg/gr stay live across the channel loop (X and Y both need them);
+    # bmix's cube root is only needed at c == 2 and is computed there.
+    mixes = [(opsin_mix(t, 0), opsin_mix(t, 1)) for t in (t1, t2)]
 
+    def xyb_channel(idx, c):
+        rg, gr = mixes[idx]
         if c == 0:
-            val = (mix(0) - mix(1)) * np.float32(0.5) * np.float32(14.0) + np.float32(0.42)
+            val = (rg - gr) * np.float32(0.5) * np.float32(14.0) + np.float32(0.42)
         elif c == 1:
-            val = (mix(0) + mix(1)) * np.float32(0.5) + np.float32(0.01)
+            val = (rg + gr) * np.float32(0.5) + np.float32(0.01)
         else:
-            y = (mix(0) + mix(1)) * np.float32(0.5)
-            val = mix(2) - y + np.float32(0.55)
+            y = (rg + gr) * np.float32(0.5)
+            val = opsin_mix((t1, t2)[idx], 2) - y + np.float32(0.55)
         return val * valid
 
     # Downscale the *linear* tile (2x2 mean) for the next pyramid level.
@@ -383,8 +382,8 @@ def _fused_scale_kernel(
 
     one = jnp.float32(1.0)
     for c in range(3):
-        a = xyb_channel(t1, c)
-        b = xyb_channel(t2, c)
+        a = xyb_channel(0, c)
+        b = xyb_channel(1, c)
         blurred = []
         for q in (a, b, a * a, b * b, a * b):
             qw = _blur_w(q, tp, _COL_HALO - r, tile_w)
