@@ -55,7 +55,7 @@ def test_full_subscores_interpret_matches_jnp(rng):
     np.testing.assert_allclose(pl_out, jnp_out, rtol=2e-5, atol=2e-6)
 
 
-@pytest.mark.parametrize("hw", [(48, 64), (35, 61)])
+@pytest.mark.parametrize("hw", [(48, 64), (35, 61), (136, 640)])
 def test_fused_v2_matches_jnp(rng, hw):
     """v2 kernel (xyb + downscale folded in) vs the jnp path, odd dims too."""
     h, w = hw

@@ -66,6 +66,7 @@ def ssimulacra2_subscores(
     if backend in ("pallas2", "interpret2"):
         # Fully fused path: XYB + blur + maps + sums + next-level downscale
         # in one kernel per scale (ops/pallas/scale_stats.py v2).
+        from turbo_metrics_tpu.ops.pallas.convert import downscale_by_2_pallas
         from turbo_metrics_tpu.ops.pallas.scale_stats import (
             fused_scale_pallas,
             norms_from_sums,
@@ -75,12 +76,16 @@ def ssimulacra2_subscores(
         per_scale = []
         for s in range(num_scales):
             h, w = lin_ref.shape[-2], lin_ref.shape[-1]
-            sums, ds1, ds2 = fused_scale_pallas(
-                lin_ref, lin_dis, emit_ds=s < num_scales - 1, interpret=interp
+            sums, _, _ = fused_scale_pallas(
+                lin_ref, lin_dis, emit_ds=False, interpret=interp
             )
             per_scale.append(norms_from_sums(sums, h * w))
             if s < num_scales - 1:
-                lin_ref, lin_dis = ds1, ds2
+                # Separate small kernel: the in-kernel MXU downscale needs
+                # HIGHEST-precision matmuls whose decomposition buffers blow
+                # the megakernel's VMEM budget.
+                lin_ref = downscale_by_2_pallas(lin_ref, interpret=interp)
+                lin_dis = downscale_by_2_pallas(lin_dis, interpret=interp)
         return jnp.stack(per_scale, axis=2)
 
     per_scale = []

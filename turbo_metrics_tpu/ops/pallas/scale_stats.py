@@ -372,13 +372,25 @@ def _fused_scale_kernel(
                     (_ROW_HALO, _COL_HALO),
                     (_ROW_HALO + tile_h, _COL_HALO + tile_w),
                 )
-                pair_w = jnp.dot(q, s_cols, preferred_element_type=jnp.float32)
-                quad = jnp.dot(t_rows, pair_w, preferred_element_type=jnp.float32)
+                # HIGHEST precision: the default TPU matmul rounds
+                # inputs to bf16 (cost us 0.44 on the score at 480p).
+                pair_w = jnp.dot(
+                    q, s_cols,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                quad = jnp.dot(
+                    t_rows, pair_w,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
                 ds_ref[0, c] = quad * np.float32(0.25) * fix
 
-    @pl.when((th == 0) & (tw == 0))
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+    # Each grid step writes its own partial-sums block (no block revisiting:
+    # mixing a revisited accumulator with the moving ds output blocks
+    # miscompiles on real TPUs — partials ping-pong between pipeline
+    # buffers; the caller reduces over tiles instead).
+    out_ref[...] = jnp.zeros_like(out_ref)
 
     one = jnp.float32(1.0)
     for c in range(3):
@@ -431,7 +443,7 @@ def _fused_scale_kernel(
                 jnp.float32(0.0),
             ]
         )
-        out_ref[0, c, :] += partial
+        out_ref[0, 0, 0, c, :] = partial
 
 
 def fused_scale_pallas(
@@ -491,7 +503,9 @@ def fused_scale_pallas(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 8, 8), lambda p, th, tw: (p, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, 1, 8, 8),
+                lambda p, th, tw: (p, th, tw, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 3, dh, dw),
@@ -505,7 +519,7 @@ def fused_scale_pallas(
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, 8, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32),
             jax.ShapeDtypeStruct((bsz, 3, nth * dh, ntw * dw), jnp.float32),
             jax.ShapeDtypeStruct((bsz, 3, nth * dh, ntw * dw), jnp.float32),
         ),
@@ -516,7 +530,7 @@ def fused_scale_pallas(
         ],
         interpret=interpret,
     )(p1, p2)
-    sums = out[:, :3, :6]
+    sums = out[:, :, :, :3, :6].sum(axis=(1, 2))  # reduce tile partials
     if not emit_ds:
         return sums, None, None
     h2, w2 = (h + 1) // 2, (w + 1) // 2

@@ -58,6 +58,29 @@ def blur(plane: np.ndarray) -> np.ndarray:
     return _blur_pass(tmp)  # vertical pass
 
 
+def blur_fir(plane: np.ndarray) -> np.ndarray:
+    """The same filter as an exact 11-tap FIR (see ops/gaussian.py).
+
+    In exact arithmetic this equals the recursive form; in f32 the recursive
+    form carries an undamped rounding drift (the oscillator's poles sit on
+    the unit circle) that this formulation does not.  The device pipeline
+    uses this formulation; ``compute_ssimulacra2(..., blur_impl="fir")``
+    isolates that difference when checking parity.
+    """
+    from turbo_metrics_tpu.ops.gaussian import gaussian_taps
+
+    taps = gaussian_taps().astype(np.float32)
+    h, w = plane.shape
+    p = np.pad(plane, _RADIUS).astype(np.float32)
+    t = np.zeros((h + 2 * _RADIUS, w), np.float32)
+    for k in range(11):
+        t += taps[k] * p[:, k : k + w]
+    out = np.zeros((h, w), np.float32)
+    for k in range(11):
+        out += taps[k] * t[k : k + h, :]
+    return out
+
+
 def downscale_by_2(img: np.ndarray) -> np.ndarray:
     """(H, W, C) -> (ceil(H/2), ceil(W/2), C), edge-clamped 2x2 mean, f32."""
     h, w, c = img.shape
@@ -130,8 +153,18 @@ def _edge_diff_map(img1, mu1, img2, mu2) -> np.ndarray:
     return out
 
 
-def compute_ssimulacra2(ref_linear: np.ndarray, dis_linear: np.ndarray) -> float:
-    """SSIMULACRA2 score for one pair of (H, W, 3) linear-RGB f32 images."""
+def compute_ssimulacra2(
+    ref_linear: np.ndarray, dis_linear: np.ndarray, *, blur_impl: str = "iir"
+) -> float:
+    """SSIMULACRA2 score for one pair of (H, W, 3) linear-RGB f32 images.
+
+    ``blur_impl``: "iir" is the faithful reference recursion (f32, with its
+    characteristic rounding drift); "fir" is the mathematically-equal exact
+    filter the device uses.  The two differ by up to ~0.15 on the score at
+    SD+ resolutions — the same f32-ordering spread behind the reference
+    project's own +/-0.25 GPU-vs-CPU gate (compare.rs:70-74).
+    """
+    blur_plane = blur if blur_impl == "iir" else blur_fir
     img1 = np.asarray(ref_linear, dtype=np.float32)
     img2 = np.asarray(dis_linear, dtype=np.float32)
     assert img1.shape == img2.shape and img1.ndim == 3 and img1.shape[2] == 3
@@ -148,7 +181,7 @@ def compute_ssimulacra2(ref_linear: np.ndarray, dis_linear: np.ndarray) -> float
         xyb2 = linear_to_xyb(img2)
 
         def blur3(img):
-            return np.stack([blur(img[..., c]) for c in range(3)], axis=-1)
+            return np.stack([blur_plane(img[..., c]) for c in range(3)], axis=-1)
 
         mu1 = blur3(xyb1)
         mu2 = blur3(xyb2)
