@@ -105,3 +105,15 @@ def test_pallas_yuv_convert_matches_jnp(rng, hw, depth, matrix, transfer, full):
     )
     # PQ's steep top end amplifies 1-ulp pre-EOTF differences ~300x.
     np.testing.assert_allclose(got, want, atol=1e-4 if transfer == "pq" else 3e-6)
+
+
+@pytest.mark.parametrize("hw", [(48, 64), (33, 61), (480, 640)])
+def test_pallas_downscale_matches_jnp(rng, hw):
+    from turbo_metrics_tpu.ops.downscale import downscale_by_2
+    from turbo_metrics_tpu.ops.pallas.convert import downscale_by_2_pallas
+
+    h, w = hw
+    x = rng.random((1, 3, h, w), dtype=np.float64).astype(np.float32)
+    want = np.asarray(downscale_by_2(jnp.asarray(x)))
+    got = np.asarray(downscale_by_2_pallas(jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-7)

@@ -167,23 +167,19 @@ DS_TILE_W = 256
 
 def _downscale_kernel(x_ref, out_ref, *, tile_h: int, tile_w: int):
     dh, dw = tile_h // 2, tile_w // 2
-    # Exact 0/1 pair-sum matrices; HIGHEST precision because the default TPU
-    # matmul rounds inputs to bf16 (cost 0.44 on the SSIMULACRA2 score).
-    t_rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (dh, tile_h), dimension=1) // 2
-        == jax.lax.broadcasted_iota(jnp.int32, (dh, tile_h), dimension=0)
-    ).astype(jnp.float32)
+    # Row pairs: a sublane-splitting reshape lowers exactly and cheaply.
+    # Column (lane) pairs: Mosaic has no lane-splitting reshape or strided
+    # slice, so they ride the MXU as an exact 0/1 matmul — with HIGHEST
+    # precision, because the default TPU matmul rounds inputs to bf16
+    # (which cost 0.44 on the SSIMULACRA2 score).
     s_cols = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw), dimension=0) // 2
         == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw), dimension=1)
     ).astype(jnp.float32)
     q = x_ref[0]
-    pair = jnp.dot(
-        q, s_cols, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    rows = q.reshape(dh, 2, tile_w).sum(axis=1)
     quad = jnp.dot(
-        t_rows, pair, preferred_element_type=jnp.float32,
+        rows, s_cols, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     out_ref[0] = quad * np.float32(0.25)
