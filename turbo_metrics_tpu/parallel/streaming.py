@@ -44,12 +44,20 @@ class FramePrefetcher:
 
     def _worker(self, src_r, src_d, batch, every, frames):
         try:
+            # Decode the two streams concurrently (the reference runs ref and
+            # dis decode on separate CUDA streams, lib.rs:276-293; here each
+            # stream gets its own host thread — libavcodec releases the GIL).
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=2)
             pend_r: list[RawFrame] = []
             pend_d: list[RawFrame] = []
             decode_count = 0
             while True:
-                fr = src_r.next_frame()
-                fd = src_d.next_frame()
+                fut_r = pool.submit(src_r.next_frame)
+                fut_d = pool.submit(src_d.next_frame)
+                fr = fut_r.result()
+                fd = fut_d.result()
                 if fr is None or fd is None:
                     break
                 if every > 1 and decode_count != 0 and decode_count % every != 0:
