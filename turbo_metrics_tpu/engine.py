@@ -75,6 +75,7 @@ class FrameScores:
     xpsnr: Optional[float] = None
     vmaf_motion: Optional[float] = None
     vmaf_vif: Optional[float] = None
+    vmaf_adm: Optional[float] = None
 
     def to_dict(self) -> dict:
         return {k: v for k, v in self.__dict__.items() if v is not None}
@@ -96,10 +97,12 @@ class MetricsResults:
     xpsnr: Optional[MetricAggregate] = None
     vmaf_motion: Optional[MetricAggregate] = None
     vmaf_vif: Optional[MetricAggregate] = None
+    vmaf_adm: Optional[MetricAggregate] = None
 
 
 METRIC_NAMES = (
-    "psnr", "ssim", "msssim", "ssimulacra2", "xpsnr", "vmaf_motion", "vmaf_vif"
+    "psnr", "ssim", "msssim", "ssimulacra2", "xpsnr",
+    "vmaf_motion", "vmaf_vif", "vmaf_adm",
 )
 
 
@@ -249,6 +252,7 @@ class TurboMetrics:
                     y_prev = _luma_code(spec_ref, aux["prev_ref"])
                     out["xpsnr_stats"] = xpsnr_block_stats(y_ref, y_dis, y_prev)
                 if metrics.vmaf:
+                    from turbo_metrics_tpu.ops.adm import dlm_stats
                     from turbo_metrics_tpu.ops.vif import vif_scale_stats
                     from turbo_metrics_tpu.ops.vmaf_motion import integer_blur
 
@@ -257,6 +261,10 @@ class TurboMetrics:
                     # VIF runs on luma in 8-bit units.
                     scale8 = np.float32(255.0 / ((1 << spec_ref.depth) - 1))
                     out["vif_stats"] = vif_scale_stats(
+                        y_ref.astype(jnp.float32) * scale8,
+                        y_dis.astype(jnp.float32) * scale8,
+                    )
+                    out["dlm_stats"] = dlm_stats(
                         y_ref.astype(jnp.float32) * scale8,
                         y_dis.astype(jnp.float32) * scale8,
                     )
@@ -355,14 +363,17 @@ class TurboMetrics:
             for i in range(n):
                 scores[i].ssimulacra2 = float(s2[i])
         if "vif_stats" in out:
+            from turbo_metrics_tpu.ops.adm import dlm_score
             from turbo_metrics_tpu.ops.vif import vif_scores
             from turbo_metrics_tpu.ops.vmaf_motion import motion_score
 
+            adm = dlm_score(np.asarray(out["dlm_stats"]))
             vs = vif_scores(np.asarray(out["vif_stats"]))
             sads = np.asarray(out["vmaf_sad_rows"], dtype=np.int64).sum(axis=-1)
             self._vmaf_prev_blur = np.asarray(out["vmaf_last_blur"])
             for i in range(n):
                 scores[i].vmaf_vif = float(vs["vif"][i])
+                scores[i].vmaf_adm = float(adm[i])
                 scores[i].vmaf_motion = motion_score(
                     int(sads[i]), self.width, self.height, depth=f_ref.depth
                 )

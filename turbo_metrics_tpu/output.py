@@ -16,7 +16,8 @@ from typing import Optional
 from turbo_metrics_tpu.engine import FrameScores, Metrics, MetricsResults
 
 METRIC_ORDER = (
-    "psnr", "ssim", "msssim", "ssimulacra2", "xpsnr", "vmaf_motion", "vmaf_vif"
+    "psnr", "ssim", "msssim", "ssimulacra2", "xpsnr",
+    "vmaf_motion", "vmaf_vif", "vmaf_adm",
 )
 
 
