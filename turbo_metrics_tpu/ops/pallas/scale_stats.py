@@ -264,8 +264,6 @@ def _fused_scale_kernel(
     lin1_hbm,
     lin2_hbm,
     out_ref,
-    ds1_ref,
-    ds2_ref,
     t1,
     t2,
     sems,
@@ -275,7 +273,6 @@ def _fused_scale_kernel(
     tile_h: int,
     tile_w: int,
     taps: tuple[float, ...],
-    emit_ds: bool,
 ):
     p = pl.program_id(0)
     th = pl.program_id(1)
@@ -341,51 +338,6 @@ def _fused_scale_kernel(
             val = opsin_mix((t1, t2)[idx], 2) - y + np.float32(0.55)
         return val * valid
 
-    # Downscale the *linear* tile (2x2 mean) for the next pyramid level.
-    # The zero padding stands in for the reference's edge replication; the
-    # fixup doubles the last row/col sums when h or w is odd (exact in FP:
-    # scaling by powers of two).
-    if emit_ds:
-        dh, dw = tile_h // 2, tile_w // 2
-        ds_row = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), dimension=0) + row0 // 2
-        ds_col = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), dimension=1) + col0 // 2
-        fix = jnp.ones((dh, dw), jnp.float32)
-        if h % 2:
-            fix = jnp.where(ds_row == (h - 1) // 2, fix * 2.0, fix)
-        if w % 2:
-            fix = jnp.where(ds_col == (w - 1) // 2, fix * 2.0, fix)
-        # Mosaic has no strided vector slices; the 2x2 pair sums ride the MXU
-        # instead via 0/1 summing matrices (exact: each output is two f32
-        # adds, the 1.0 weights and zero terms do not round).
-        t_rows = (
-            jax.lax.broadcasted_iota(jnp.int32, (dh, tile_h), dimension=1) // 2
-            == jax.lax.broadcasted_iota(jnp.int32, (dh, tile_h), dimension=0)
-        ).astype(jnp.float32)
-        s_cols = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw), dimension=0) // 2
-            == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw), dimension=1)
-        ).astype(jnp.float32)
-        for t, ds_ref in ((t1, ds1_ref), (t2, ds2_ref)):
-            for c in range(3):
-                q = jax.lax.slice(
-                    t[c] * valid,
-                    (_ROW_HALO, _COL_HALO),
-                    (_ROW_HALO + tile_h, _COL_HALO + tile_w),
-                )
-                # HIGHEST precision: the default TPU matmul rounds
-                # inputs to bf16 (cost us 0.44 on the score at 480p).
-                pair_w = jnp.dot(
-                    q, s_cols,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                quad = jnp.dot(
-                    t_rows, pair_w,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                ds_ref[0, c] = quad * np.float32(0.25) * fix
-
     # Each grid step writes its own partial-sums block (no block revisiting:
     # mixing a revisited accumulator with the moving ds output blocks
     # miscompiles on real TPUs — partials ping-pong between pipeline
@@ -450,16 +402,18 @@ def fused_scale_pallas(
     lin1: jax.Array,
     lin2: jax.Array,
     *,
-    emit_ds: bool = True,
+    emit_ds: bool = False,
     interpret: bool = False,
 ):
-    """One fused pass over a pyramid level: linear RGB in, (sums, ds1, ds2) out.
+    """One fused pass over a pyramid level: linear RGB in, sums out.
 
     ``lin1``/``lin2``: (B, 3, h, w) f32 linear RGB for the current scale.
-    Returns (sums (B, 3, 6), ds1, ds2 (B, 3, ceil(h/2), ceil(w/2))); the
-    downscaled outputs are the next level's linear inputs (None when
-    ``emit_ds`` is False).
+    Returns (sums (B, 3, 6), None, None) — the next level's inputs come from
+    the separate exact downscale kernel (ops/pallas/convert.py; an in-kernel
+    downscale either rounds to bf16 on the MXU or blows the VMEM budget with
+    HIGHEST-precision decomposition buffers).
     """
+    del emit_ds  # kept for API compatibility
     bsz, ch, h, w = lin1.shape
     assert ch == 3
     tile_h = min(TILE_H, _round_up(h, 8))
@@ -484,54 +438,32 @@ def fused_scale_pallas(
     p2 = pad(lin2)
     taps = tuple(float(v) for v in gaussian_taps())
 
-    dh, dw = tile_h // 2, tile_w // 2
     kernel = functools.partial(
-        _fused_scale_kernel,
-        h=h,
-        w=w,
-        tile_h=tile_h,
-        tile_w=tile_w,
-        taps=taps,
-        emit_ds=emit_ds,
+        _fused_scale_kernel, h=h, w=w, tile_h=tile_h, tile_w=tile_w, taps=taps
     )
-    out, ds1, ds2 = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(bsz, nth, ntw),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, 1, 1, 8, 8),
-                lambda p, th, tw: (p, th, tw, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 3, dh, dw),
-                lambda p, th, tw: (p, 0, th, tw),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 3, dh, dw),
-                lambda p, th, tw: (p, 0, th, tw),
-                memory_space=pltpu.VMEM,
-            ),
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, 8, 8),
+            lambda p, th, tw: (p, th, tw, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 3, nth * dh, ntw * dw), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 3, nth * dh, ntw * dw), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, tile_h + 2 * _ROW_HALO, tile_w + 2 * _COL_HALO), jnp.float32),
-            pltpu.VMEM((3, tile_h + 2 * _ROW_HALO, tile_w + 2 * _COL_HALO), jnp.float32),
+            pltpu.VMEM(
+                (3, tile_h + 2 * _ROW_HALO, tile_w + 2 * _COL_HALO), jnp.float32
+            ),
+            pltpu.VMEM(
+                (3, tile_h + 2 * _ROW_HALO, tile_w + 2 * _COL_HALO), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(p1, p2)
     sums = out[:, :, :, :3, :6].sum(axis=(1, 2))  # reduce tile partials
-    if not emit_ds:
-        return sums, None, None
-    h2, w2 = (h + 1) // 2, (w + 1) // 2
-    return sums, ds1[:, :, :h2, :w2], ds2[:, :, :h2, :w2]
+    return sums, None, None
