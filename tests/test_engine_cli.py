@@ -147,3 +147,47 @@ def test_cli_size_mismatch(tmp_path, rng, capsys):
     Image.fromarray(a).save(pa)
     Image.fromarray(b).save(pb)
     assert main([str(pa), str(pb), "-m", "psnr", "--no-progress"]) == 1
+
+
+def test_mixed_bitdepth_xpsnr_vmaf(rng):
+    """8-bit ref vs 10-bit dis must match the all-8-bit result when the
+    10-bit frames are exact left-shifts (ADVICE r1: heterogeneous depths
+    previously compared raw code values at different scales)."""
+    from turbo_metrics_tpu.io.frame_source import RawFrame
+
+    w, h = 64, 48
+    from turbo_metrics_tpu.color.characteristics import height_fallback
+    cc = (height_fallback(h), "limited")
+
+    def yuv8(shift):
+        y, u, v = _smooth_yuv(rng, w, h, shift)
+        uv = np.stack([u, v], axis=-1)
+        return y, uv
+
+    refs8 = [yuv8(i * 0.1) for i in range(3)]
+    diss8 = [
+        (np.clip(y.astype(np.int16) + rng.integers(-4, 5, y.shape), 0, 255).astype(np.uint8), uv)
+        for (y, uv) in refs8
+    ]
+    f_ref8 = [RawFrame(y=y, uv=uv, depth=8) for y, uv in refs8]
+    f_dis8 = [RawFrame(y=y, uv=uv, depth=8) for y, uv in diss8]
+    f_dis10 = [
+        RawFrame(
+            y=(y.astype(np.uint16) << 2),
+            uv=(uv.astype(np.uint16) << 2),
+            depth=10,
+        )
+        for y, uv in diss8
+    ]
+
+    m = Metrics(xpsnr=True, vmaf=True)
+    eng8 = TurboMetrics(w, h, m, batch=3)
+    s8 = eng8.compute_frames(f_ref8, cc, f_dis8, cc)
+    eng10 = TurboMetrics(w, h, m, batch=3)
+    s10 = eng10.compute_frames(f_ref8, cc, f_dis10, cc)
+
+    for a, b in zip(s8, s10):
+        assert a.xpsnr == pytest.approx(b.xpsnr, abs=1e-5)
+        assert a.vmaf_vif == pytest.approx(b.vmaf_vif, abs=1e-6)
+        assert a.vmaf_adm == pytest.approx(b.vmaf_adm, abs=1e-6)
+        assert a.vmaf_motion == pytest.approx(b.vmaf_motion, abs=1e-6)

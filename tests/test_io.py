@@ -261,3 +261,57 @@ def test_skip_frames_image_source(tmp_path, rng):
     src.skip_frames(2)
     assert src.next_frame() is not None
     assert src.next_frame() is None
+
+
+def _ebml(eid: int, payload: bytes, unknown_size: bool = False) -> bytes:
+    """Serialize one EBML element (id as read from stream, 1-byte size or
+    the 1-byte unknown-size marker 0xFF)."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    if unknown_size:
+        return idb + b"\xff" + payload
+    assert len(payload) < 0x7F
+    return idb + bytes([0x80 | len(payload)]) + payload
+
+
+def test_mkv_unknown_size_cluster():
+    """ffmpeg writes unknown-size Segment/Cluster to non-seekable outputs;
+    the demuxer must treat such a cluster as ending at the next top-level
+    element or EOF instead of mis-parsing a bogus end offset."""
+    from turbo_metrics_tpu.io.mkv import MkvDemuxer
+
+    def simpleblock(track, ts, data):
+        return _ebml(0xA3, bytes([0x80 | track]) + ts.to_bytes(2, "big") + b"\x80" + data)
+
+    track_entry = _ebml(
+        0xAE,
+        _ebml(0xD7, b"\x01")        # TrackNumber = 1
+        + _ebml(0x83, b"\x01")      # TrackType = video
+        + _ebml(0x86, b"V_VP9")     # CodecID
+        + _ebml(0xE0, _ebml(0xB0, b"\x40") + _ebml(0xBA, b"\x30")),  # 64x48
+    )
+    data = (
+        _ebml(0x1A45DFA3, b"")                           # EBML header
+        + _ebml(0x18538067, b"", unknown_size=True)      # Segment, unknown size
+        + _ebml(0x1549A966, _ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big")))
+        + _ebml(0x1654AE6B, track_entry)                 # Tracks
+        # Cluster 1: UNKNOWN SIZE, two SimpleBlocks
+        + _ebml(0x1F43B675, b"", unknown_size=True)
+        + _ebml(0xE7, b"\x00")                           # cluster timestamp 0
+        + simpleblock(1, 0, b"frame0")
+        + simpleblock(1, 40, b"frame1")
+        # Cluster 2: known size, one SimpleBlock — also ends cluster 1
+        + _ebml(
+            0x1F43B675,
+            _ebml(0xE7, b"\x50") + simpleblock(1, 0, b"frame2"),
+        )
+    )
+    import io as _io
+
+    mkv = MkvDemuxer(_io.BytesIO(data))
+    t = mkv.video_track
+    assert t is not None and t.codec == "vp9"
+    assert (t.pixel_width, t.pixel_height) == (64, 48)
+    pkts = list(mkv.packets())
+    assert [p.data for p in pkts] == [b"frame0", b"frame1", b"frame2"]
+    assert pkts[1].timestamp_ns == 40 * 1_000_000
+    assert pkts[2].timestamp_ns == 0x50 * 1_000_000

@@ -165,6 +165,20 @@ def _convert_to_linear(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.
     return colorspace.srgb_to_linear(rgb, depth=spec.depth)
 
 
+def _align_luma_depth(y: jax.Array, from_depth: int, to_depth: int) -> jax.Array:
+    """Rescale integer luma code values between bit depths (left/right shift,
+    the standard video code-value mapping).  XPSNR and the VMAF features
+    compare raw code values, so heterogeneous ref/dis depths (e.g. 8-bit ref
+    vs 10-bit dis) must be brought to a common depth first — the reference
+    never hits this case because NVDEC surfaces share one format."""
+    if from_depth == to_depth:
+        return y
+    y = y.astype(jnp.int32)
+    if to_depth > from_depth:
+        return y << (to_depth - from_depth)
+    return y >> (from_depth - to_depth)
+
+
 def _luma_code(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.Array:
     """Integer luma code values (B, H, W) for XPSNR.
 
@@ -248,7 +262,11 @@ class TurboMetrics:
                     from turbo_metrics_tpu.ops.xpsnr_ops import xpsnr_block_stats
 
                     y_ref = _luma_code(spec_ref, ref_arrays)
-                    y_dis = _luma_code(spec_dis, dis_arrays)
+                    y_dis = _align_luma_depth(
+                        _luma_code(spec_dis, dis_arrays),
+                        spec_dis.depth,
+                        spec_ref.depth,
+                    )
                     y_prev = _luma_code(spec_ref, aux["prev_ref"])
                     out["xpsnr_stats"] = xpsnr_block_stats(y_ref, y_dis, y_prev)
                 if metrics.vmaf:
@@ -257,7 +275,11 @@ class TurboMetrics:
                     from turbo_metrics_tpu.ops.vmaf_motion import integer_blur
 
                     y_ref = _luma_code(spec_ref, ref_arrays)
-                    y_dis = _luma_code(spec_dis, dis_arrays)
+                    y_dis = _align_luma_depth(
+                        _luma_code(spec_dis, dis_arrays),
+                        spec_dis.depth,
+                        spec_ref.depth,
+                    )
                     # VIF runs on luma in 8-bit units.
                     scale8 = np.float32(255.0 / ((1 << spec_ref.depth) - 1))
                     out["vif_stats"] = vif_scale_stats(

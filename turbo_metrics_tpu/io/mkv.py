@@ -55,8 +55,18 @@ def _read_vint(f: BinaryIO, keep_marker: bool) -> Optional[int]:
     return None if v is None else v[0]
 
 
+# Sentinel for the EBML "unknown size" marker (all value bits set).  ffmpeg
+# writes unknown-size Segments and Clusters when the output is not seekable
+# (pipes); such a cluster extends until the next top-level element or EOF.
+UNKNOWN_SIZE = -2
+
+
 def _read_vint_len(f: BinaryIO, keep_marker: bool) -> Optional[tuple[int, int]]:
-    """Read an EBML vint; returns (value, total byte length)."""
+    """Read an EBML vint; returns (value, total byte length).
+
+    With ``keep_marker=False`` (sizes), the all-value-bits-set pattern is the
+    spec's "unknown size" marker and is returned as ``UNKNOWN_SIZE``.
+    """
     first = f.read(1)
     if not first:
         return None
@@ -70,11 +80,15 @@ def _read_vint_len(f: BinaryIO, keep_marker: bool) -> Optional[tuple[int, int]]:
         return None
     for b in rest:
         value = (value << 8) | b
+    if not keep_marker and value == (1 << (7 * (length + 1))) - 1:
+        return UNKNOWN_SIZE, length + 1
     return value, length + 1
 
 
 def _read_element(f: BinaryIO) -> Optional[tuple[int, int]]:
-    """Returns (element id, payload size) or None at EOF."""
+    """Returns (element id, payload size) or None at EOF.
+
+    ``size`` is ``UNKNOWN_SIZE`` for unknown-size elements (Segment/Cluster)."""
     eid = _read_vint(f, keep_marker=True)
     if eid is None:
         return None
@@ -165,9 +179,15 @@ class MkvDemuxer:
             elif eid == _TRACKS:
                 self._parse_tracks(f.read(size))
             elif eid == _CLUSTER:
-                self._cluster_end = f.tell() + size
+                self._cluster_end = (
+                    UNKNOWN_SIZE if size == UNKNOWN_SIZE else f.tell() + size
+                )
                 self._cluster_ts = 0
                 break
+            elif size == UNKNOWN_SIZE:
+                raise ValueError(
+                    f"unknown-size EBML element 0x{eid:x} outside Cluster/Segment"
+                )
             else:
                 f.seek(size, 1)
 
@@ -231,17 +251,54 @@ class MkvDemuxer:
             track_number = vt.number
         f = self._f
         while True:
-            if self._cluster_end < 0:
+            if self._cluster_end == -1:
                 el = _read_element(f)
                 if el is None:
                     return
                 eid, size = el
                 if eid == _CLUSTER:
-                    self._cluster_end = f.tell() + size
+                    self._cluster_end = (
+                        UNKNOWN_SIZE if size == UNKNOWN_SIZE else f.tell() + size
+                    )
                     self._cluster_ts = 0
+                elif size == UNKNOWN_SIZE:
+                    return  # cannot skip an unknown-size non-cluster element
                 else:
                     f.seek(size, 1)
                     continue
+            if self._cluster_end == UNKNOWN_SIZE:
+                # Unknown-size cluster: extends until the next top-level
+                # element (level-1 Matroska IDs are the 4-byte class-A ids,
+                # >= 0x10000000; cluster children all have 1-2 byte ids) or
+                # EOF.
+                while True:
+                    el = _read_element(f)
+                    if el is None:
+                        return
+                    eid, size = el
+                    if eid == _CLUSTER:
+                        self._cluster_end = (
+                            UNKNOWN_SIZE if size == UNKNOWN_SIZE else f.tell() + size
+                        )
+                        self._cluster_ts = 0
+                        break
+                    if eid >= 0x10000000:  # next top-level element ends it
+                        if size == UNKNOWN_SIZE:
+                            return
+                        f.seek(size, 1)
+                        self._cluster_end = -1
+                        break
+                    if eid == _CLUSTER_TIMESTAMP:
+                        self._cluster_ts = _uint(f.read(size))
+                    elif eid == _SIMPLE_BLOCK:
+                        yield from self._parse_block(f.read(size), track_number, simple=True)
+                    elif eid == _BLOCK_GROUP:
+                        for gid, gp in _iter_children(f.read(size)):
+                            if gid == _BLOCK:
+                                yield from self._parse_block(gp, track_number, simple=False)
+                    else:
+                        f.seek(size, 1)
+                continue
             while f.tell() < self._cluster_end:
                 el = _read_element(f)
                 if el is None:
@@ -317,5 +374,7 @@ def _iter_children(data: bytes) -> Iterator[tuple[int, bytes]]:
         if el is None:
             return
         eid, size = el
+        if size == UNKNOWN_SIZE:
+            raise ValueError(f"unknown-size EBML element 0x{eid:x} in child context")
         payload = f.read(size)
         yield eid, payload
