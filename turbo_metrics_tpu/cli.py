@@ -20,9 +20,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="turbo-metrics",
         description=(
-            "Turbo metrics compares two images or videos using quality metrics. "
-            "Video decoding happens on the host CPU; metric computations run on "
-            "TPU via JAX/XLA. Use TM_LOG=debug for verbose logging."
+            "Full-reference image/video quality metrics between a reference "
+            "and a distorted file. Video decoding happens on the host CPU; "
+            "metric computations run on TPU via JAX/XLA. Use TM_LOG=debug "
+            "for verbose logging."
         ),
     )
     p.add_argument("reference", help="Reference media. Use '-' to read from stdin.")
@@ -63,6 +64,16 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["limited", "full"],
         help="Override the signal range.",
     )
+    p.add_argument(
+        "--vmaf-model",
+        metavar="FILE",
+        help=(
+            "libvmaf JSON model for the fused VMAF score (e.g. "
+            "vmaf_v0.6.1.json). Defaults to $TM_VMAF_MODEL or the standard "
+            "libvmaf install paths; without a model, -m vmaf emits the "
+            "elementary features only."
+        ),
+    )
     return p
 
 
@@ -87,6 +98,24 @@ def main(argv: list[str] | None = None) -> int:
     from turbo_metrics_tpu.output import Output
 
     metrics = Metrics(**{m: True for m in args.metrics})
+
+    vmaf_model = None
+    if metrics.vmaf:
+        from turbo_metrics_tpu.models.vmaf_model import VmafModel, find_default_model
+
+        model_path = args.vmaf_model or find_default_model()
+        if model_path:
+            try:
+                vmaf_model = VmafModel.load(model_path)
+                log.info("vmaf model: %s (%s)", vmaf_model.name, model_path)
+            except Exception as e:
+                log.error("Could not load VMAF model %s : %s", model_path, e)
+                return 1
+        else:
+            log.warning(
+                "no VMAF model found (use --vmaf-model or TM_VMAF_MODEL); "
+                "emitting elementary features only"
+            )
     opts = Options(
         every=args.every,
         skip=args.skip,
@@ -145,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
             source_ref.height,
             metrics,
             batch=batch,
+            vmaf_model=vmaf_model,
         )
     except Exception as e:
         log.error("Could not initialize engine : %s", e)

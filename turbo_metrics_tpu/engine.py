@@ -42,7 +42,10 @@ class Metrics:
     msssim: bool = False
     ssimulacra2: bool = False
     xpsnr: bool = False
-    vmaf: bool = False  # VMAF elementary features (motion, vif)
+    vmaf: bool = False  # VMAF features (motion, vif, adm) + fused score
+    # Set when a fusion model is loaded (vmaf_v0.6.1.json et al.); gates the
+    # 'vmaf' output column.  Without a model only elementary features emit.
+    vmaf_fused: bool = False
 
     def any(self) -> bool:
         return (
@@ -73,8 +76,13 @@ class FrameScores:
     msssim: Optional[float] = None
     ssimulacra2: Optional[float] = None
     xpsnr: Optional[float] = None
+    vmaf: Optional[float] = None  # fused score (needs a model file)
     vmaf_motion: Optional[float] = None
     vmaf_vif: Optional[float] = None
+    vmaf_vif_scale0: Optional[float] = None
+    vmaf_vif_scale1: Optional[float] = None
+    vmaf_vif_scale2: Optional[float] = None
+    vmaf_vif_scale3: Optional[float] = None
     vmaf_adm: Optional[float] = None
 
     def to_dict(self) -> dict:
@@ -95,15 +103,31 @@ class MetricsResults:
     msssim: Optional[MetricAggregate] = None
     ssimulacra2: Optional[MetricAggregate] = None
     xpsnr: Optional[MetricAggregate] = None
+    vmaf: Optional[MetricAggregate] = None
     vmaf_motion: Optional[MetricAggregate] = None
     vmaf_vif: Optional[MetricAggregate] = None
+    vmaf_vif_scale0: Optional[MetricAggregate] = None
+    vmaf_vif_scale1: Optional[MetricAggregate] = None
+    vmaf_vif_scale2: Optional[MetricAggregate] = None
+    vmaf_vif_scale3: Optional[MetricAggregate] = None
     vmaf_adm: Optional[MetricAggregate] = None
 
 
 METRIC_NAMES = (
     "psnr", "ssim", "msssim", "ssimulacra2", "xpsnr",
-    "vmaf_motion", "vmaf_vif", "vmaf_adm",
+    "vmaf", "vmaf_motion", "vmaf_vif",
+    "vmaf_vif_scale0", "vmaf_vif_scale1", "vmaf_vif_scale2", "vmaf_vif_scale3",
+    "vmaf_adm",
 )
+
+
+def metric_enabled(metrics: Metrics, name: str) -> bool:
+    """Whether an output column/field is active for this metric selection."""
+    if name == "vmaf":
+        return metrics.vmaf and metrics.vmaf_fused
+    if name.startswith("vmaf_"):
+        return metrics.vmaf
+    return getattr(metrics, name)
 
 
 from turbo_metrics_tpu.utils.stats import Stats  # noqa: E402  (dataclass ref above)
@@ -198,6 +222,44 @@ def _luma_code(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.Array:
     return jnp.round(y).astype(jnp.int32)
 
 
+class _VmafFuser:
+    """Streams FrameScores through the fusion model with one frame of
+    holdback: libvmaf's 'motion2' feature for frame i is
+    min(motion[i], motion[i+1]), so a frame's fused score is only final once
+    the next frame's motion is known (the last frame keeps its own motion,
+    matching libvmaf's end-of-stream behaviour)."""
+
+    def __init__(self, model):
+        self.model = model
+        self.pending: Optional[FrameScores] = None
+
+    def push(self, s: FrameScores) -> Optional[FrameScores]:
+        ready = None
+        if self.pending is not None:
+            self._fuse(self.pending, next_motion=s.vmaf_motion)
+            ready = self.pending
+        self.pending = s
+        return ready
+
+    def flush(self) -> Optional[FrameScores]:
+        if self.pending is not None:
+            self._fuse(self.pending, next_motion=None)
+        ready, self.pending = self.pending, None
+        return ready
+
+    def _fuse(self, s: FrameScores, next_motion: Optional[float]) -> None:
+        m = s.vmaf_motion
+        m2 = m if next_motion is None else min(m, next_motion)
+        feats = {
+            "adm2": s.vmaf_adm,
+            "motion": m,
+            "motion2": m2,
+            "vif": s.vmaf_vif,
+            **{f"vif_scale{k}": getattr(s, f"vmaf_vif_scale{k}") for k in range(4)},
+        }
+        s.vmaf = self.model.predict_one(feats)
+
+
 # --------------------------------------------------------------------------
 # Engine
 # --------------------------------------------------------------------------
@@ -213,6 +275,7 @@ class TurboMetrics:
         metrics: Metrics,
         *,
         batch: int | None = None,
+        vmaf_model=None,
     ):
         if not metrics.any():
             raise ValueError("at least one metric must be selected")
@@ -224,6 +287,9 @@ class TurboMetrics:
         self._step_cache: dict = {}
         self._prev_ref: Optional[np.ndarray] = None  # XPSNR temporal state
         self._vmaf_prev_blur: Optional[np.ndarray] = None  # motion state
+        self.vmaf_model = vmaf_model  # models.vmaf_model.VmafModel or None
+        if vmaf_model is not None:
+            metrics.vmaf_fused = True
 
     def reset_stream_state(self) -> None:
         """Clear temporal state before scoring a new clip with this engine."""
@@ -395,6 +461,10 @@ class TurboMetrics:
             self._vmaf_prev_blur = np.asarray(out["vmaf_last_blur"])
             for i in range(n):
                 scores[i].vmaf_vif = float(vs["vif"][i])
+                for k in range(4):
+                    setattr(
+                        scores[i], f"vmaf_vif_scale{k}", float(vs[f"vif_scale{k}"][i])
+                    )
                 scores[i].vmaf_adm = float(adm[i])
                 scores[i].vmaf_motion = motion_score(
                     int(sads[i]), self.width, self.height, depth=f_ref.depth
@@ -423,8 +493,14 @@ class TurboMetrics:
         dis_frame: RawFrame,
         cc_dis: tuple[ColorCharacteristics, str],
     ) -> FrameScores:
-        """Single frame-pair API (turbo-metrics/src/lib.rs:268-360)."""
-        return self.compute_frames([ref_frame], cc_ref, [dis_frame], cc_dis)[0]
+        """Single frame-pair API (turbo-metrics/src/lib.rs:268-360).
+
+        With a fusion model loaded the score uses motion2 == motion (no
+        lookahead exists for a single pair)."""
+        s = self.compute_frames([ref_frame], cc_ref, [dis_frame], cc_dis)[0]
+        if self.vmaf_model is not None and s.vmaf_motion is not None:
+            _VmafFuser(self.vmaf_model)._fuse(s, next_motion=None)
+        return s
 
     # -- full drive loop ----------------------------------------------------
 
@@ -454,11 +530,7 @@ class TurboMetrics:
 
         m = self.metrics
         acc: dict[str, Optional[list[float]]] = {
-            name: (
-                []
-                if (m.vmaf if name.startswith("vmaf_") else getattr(m, name))
-                else None
-            )
+            name: ([] if metric_enabled(m, name) else None)
             for name in METRIC_NAMES
         }
 
@@ -466,17 +538,30 @@ class TurboMetrics:
         frames_dis.skip_frames(opts.skip_dis + opts.skip)
 
         compute_count = 0
+        fuser = (
+            _VmafFuser(self.vmaf_model)
+            if (m.vmaf and self.vmaf_model is not None)
+            else None
+        )
+
+        def emit(s: FrameScores) -> None:
+            for name, lst in acc.items():
+                v = getattr(s, name)
+                if lst is not None and v is not None:
+                    lst.append(v)
+            if on_frame is not None:
+                on_frame(s)
 
         def consume(batch_ref: list[RawFrame], batch_dis: list[RawFrame]):
             nonlocal compute_count
             batch_scores = self.compute_frames(batch_ref, cc_ref, batch_dis, cc_dis)
             for s in batch_scores:
-                for name, lst in acc.items():
-                    v = getattr(s, name)
-                    if lst is not None and v is not None:
-                        lst.append(v)
-                if on_frame is not None:
-                    on_frame(s)
+                if fuser is not None:
+                    ready = fuser.push(s)
+                    if ready is not None:
+                        emit(ready)
+                else:
+                    emit(s)
             compute_count += len(batch_scores)
 
         if prefetch:
@@ -513,6 +598,11 @@ class TurboMetrics:
                     pend_ref, pend_dis = [], []
             if pend_ref:
                 consume(pend_ref, pend_dis)
+
+        if fuser is not None:
+            ready = fuser.flush()
+            if ready is not None:
+                emit(ready)
 
         return MetricsResults(
             frame_count=compute_count,

@@ -13,11 +13,18 @@ import json
 from enum import Enum
 from typing import Optional
 
-from turbo_metrics_tpu.engine import FrameScores, Metrics, MetricsResults
+from turbo_metrics_tpu.engine import (
+    FrameScores,
+    Metrics,
+    MetricsResults,
+    metric_enabled,
+)
 
 METRIC_ORDER = (
     "psnr", "ssim", "msssim", "ssimulacra2", "xpsnr",
-    "vmaf_motion", "vmaf_vif", "vmaf_adm",
+    "vmaf", "vmaf_motion", "vmaf_vif",
+    "vmaf_vif_scale0", "vmaf_vif_scale1", "vmaf_vif_scale2", "vmaf_vif_scale3",
+    "vmaf_adm",
 )
 
 
@@ -29,11 +36,7 @@ class Output(Enum):
 
     def prepare(self, metrics: Metrics) -> None:
         if self is Output.CSV:
-            cols = [
-                m
-                for m in METRIC_ORDER
-                if (metrics.vmaf if m.startswith("vmaf_") else getattr(metrics, m))
-            ]
+            cols = [m for m in METRIC_ORDER if metric_enabled(metrics, m)]
             print(",".join(cols))
 
     def output_single_score(self, scores: FrameScores) -> None:
