@@ -27,6 +27,17 @@ struct TmHandle {
     AVFrame* frame = nullptr;
     int stream_index = -1;
     int eof = 0;
+    // Currently negotiated output geometry/format.  Mid-stream changes
+    // (new sequence header / SPS) update these and surface as a -3
+    // "reconfigured" return with the frame stashed (pending=1), mirroring
+    // NVDEC's sequence-callback-driven reconfiguration
+    // (cudarse-video/src/dec.rs:172-195) but completing it: the caller
+    // re-reads tm_info, resizes buffers, and the next tm_next_frame call
+    // delivers the stashed frame.
+    int cur_w = 0;
+    int cur_h = 0;
+    int cur_fmt = AV_PIX_FMT_NONE;
+    int pending = 0;
 };
 
 struct TmInfo {
@@ -76,6 +87,9 @@ TmHandle* tm_open(const char* path) {
     }
     h->pkt = av_packet_alloc();
     h->frame = av_frame_alloc();
+    h->cur_w = st->codecpar->width;
+    h->cur_h = st->codecpar->height;
+    h->cur_fmt = st->codecpar->format;
     return h;
 }
 
@@ -83,9 +97,10 @@ int tm_info(TmHandle* h, TmInfo* out) {
     if (!h || !out) return -1;
     AVStream* st = h->fmt->streams[h->stream_index];
     AVCodecParameters* par = st->codecpar;
-    out->width = par->width;
-    out->height = par->height;
-    AVPixelFormat pf = (AVPixelFormat)par->format;
+    out->width = h->cur_w ? h->cur_w : par->width;
+    out->height = h->cur_h ? h->cur_h : par->height;
+    AVPixelFormat pf = (AVPixelFormat)h->cur_fmt;
+    if (pf == AV_PIX_FMT_NONE) pf = (AVPixelFormat)par->format;
     if (pf == AV_PIX_FMT_NONE) pf = h->dec->pix_fmt;
     const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get(pf);
     out->depth = desc ? desc->comp[0].depth : 8;
@@ -130,36 +145,43 @@ static void copy_plane(const uint8_t* src, int src_linesize, uint8_t* dst,
 // w*h (luma) and cw*ch (each chroma plane) samples of ceil(depth/8) bytes.
 int tm_next_frame(TmHandle* h, uint8_t* y, uint8_t* u, uint8_t* v) {
     if (!h) return -1;
-    while (true) {
-        int ret = avcodec_receive_frame(h->dec, h->frame);
-        if (ret == 0) break;
-        if (ret == AVERROR_EOF) return 0;
-        if (ret != AVERROR(EAGAIN)) return -2;
-        if (h->eof) {
-            // flush already sent; drain done
-            return 0;
+    if (!h->pending) {
+        while (true) {
+            int ret = avcodec_receive_frame(h->dec, h->frame);
+            if (ret == 0) break;
+            if (ret == AVERROR_EOF) return 0;
+            if (ret != AVERROR(EAGAIN)) return -2;
+            if (h->eof) {
+                // flush already sent; drain done
+                return 0;
+            }
+            ret = av_read_frame(h->fmt, h->pkt);
+            if (ret < 0) {
+                h->eof = 1;
+                avcodec_send_packet(h->dec, nullptr);
+                continue;
+            }
+            if (h->pkt->stream_index == h->stream_index) {
+                avcodec_send_packet(h->dec, h->pkt);
+            }
+            av_packet_unref(h->pkt);
         }
-        ret = av_read_frame(h->fmt, h->pkt);
-        if (ret < 0) {
-            h->eof = 1;
-            avcodec_send_packet(h->dec, nullptr);
-            continue;
-        }
-        if (h->pkt->stream_index == h->stream_index) {
-            avcodec_send_packet(h->dec, h->pkt);
-        }
-        av_packet_unref(h->pkt);
     }
     AVFrame* f = h->frame;
-    // Mid-stream resolution change: caller buffers no longer fit.  Report a
-    // distinct code so the Python side can surface it (the reference's
-    // decoder reconfiguration path, cudarse-video dec.rs:172-195, is also
-    // only partially supported).
-    AVStream* st = h->fmt->streams[h->stream_index];
-    if (f->width != st->codecpar->width || f->height != st->codecpar->height) {
-        av_frame_unref(f);
+    // Mid-stream reconfiguration: geometry OR pixel format/depth change
+    // means the caller's buffers no longer fit.  Adopt the new format,
+    // stash the frame, and return -3; the caller re-reads tm_info, resizes
+    // its buffers, and the next call delivers this frame.
+    if (!h->pending &&
+        (f->width != h->cur_w || f->height != h->cur_h ||
+         f->format != h->cur_fmt)) {
+        h->cur_w = f->width;
+        h->cur_h = f->height;
+        h->cur_fmt = f->format;
+        h->pending = 1;
         return -3;
     }
+    h->pending = 0;
     const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get((AVPixelFormat)f->format);
     int bytes = desc->comp[0].depth > 8 ? 2 : 1;
     copy_plane(f->data[0], f->linesize[0], y, f->width, f->height, bytes);

@@ -315,3 +315,69 @@ def test_mkv_unknown_size_cluster():
     assert [p.data for p in pkts] == [b"frame0", b"frame1", b"frame2"]
     assert pkts[1].timestamp_ns == 40 * 1_000_000
     assert pkts[2].timestamp_ns == 0x50 * 1_000_000
+
+
+@pytest.fixture(scope="module")
+def reschange_ts(tmp_path_factory):
+    """Concatenated MPEG-TS segments at different resolutions — the decoder
+    sees a mid-stream sequence-header resolution change."""
+    cv2 = pytest.importorskip("cv2")
+    d = tmp_path_factory.mktemp("resch")
+    def write(path, w, h, n):
+        vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MPG2"), 25, (w, h))
+        if not vw.isOpened():
+            pytest.skip("MPEG-2 TS encoder unavailable")
+        for i in range(n):
+            vw.write(np.full((h, w, 3), 40 + i * 25, np.uint8))
+        vw.release()
+    a, b, out = d / "a.ts", d / "b.ts", d / "cat.ts"
+    write(a, 64, 48, 4)
+    write(b, 128, 96, 4)
+    out.write_bytes(a.read_bytes() + b.read_bytes())
+    return str(out)
+
+
+def test_native_midstream_reconfiguration(reschange_ts):
+    """-3 reconfiguration path: new dims reported, buffers resized, the
+    boundary frame delivered after the signal (completes what the
+    reference's dec.rs:172-195 only warns about)."""
+    from turbo_metrics_tpu.io.frame_source import ResolutionChanged
+    from turbo_metrics_tpu.io.native import NativeVideoSource, native_available
+
+    if not native_available():
+        pytest.skip("native demuxer not built")
+    src = NativeVideoSource(reschange_ts)
+    assert (src.width, src.height) == (64, 48)
+    sizes, changes = [], []
+    while True:
+        try:
+            f = src.get_frame()
+        except ResolutionChanged as e:
+            changes.append((e.width, e.height))
+            assert (src.width, src.height) == (e.width, e.height)
+            continue
+        if f is None:
+            break
+        sizes.append((f.width, f.height))
+    assert changes == [(128, 96)]
+    assert set(sizes[:3]) == {(64, 48)} and set(sizes[-4:]) == {(128, 96)}
+
+
+def test_cli_segmented_resolution_change(reschange_ts, capsys):
+    """Engine rebuild across a resolution segment: CLI scores the whole
+    stream and merges per-segment results."""
+    import json as _json
+
+    from turbo_metrics_tpu.cli import main
+    from turbo_metrics_tpu.io.native import native_available
+
+    if not native_available():
+        pytest.skip("native demuxer not built")
+    rc = main([
+        reschange_ts, reschange_ts, "-m", "ssim",
+        "--output", "json", "--no-progress",
+    ])
+    assert rc == 0
+    obj = _json.loads(capsys.readouterr().out)
+    assert obj["frame_count"] >= 6  # both segments scored
+    assert all(s == pytest.approx(1.0) for s in obj["ssim"]["scores"])

@@ -186,6 +186,8 @@ def test_engine_fused_vmaf(tmp_path, rng):
             self._i += 1
             return f
 
+        get_frame = next_frame
+
     m = Metrics(vmaf=True)
     eng = TurboMetrics(w, h, m, batch=2, vmaf_model=model)
     assert m.vmaf_fused

@@ -162,20 +162,23 @@ def main(argv: list[str] | None = None) -> int:
         log.error("Reference and distorted are not the same size")
         return 1
 
-    batch = args.batch or None
-    total_hint = max(source_ref.frame_count(), source_dis.frame_count())
-    if batch is None and total_hint:
-        from turbo_metrics_tpu.engine import default_batch
+    def make_engine():
+        batch = args.batch or None
+        total_hint = max(source_ref.frame_count(), source_dis.frame_count())
+        if batch is None and total_hint:
+            from turbo_metrics_tpu.engine import default_batch
 
-        batch = min(default_batch(source_ref.width, source_ref.height), total_hint)
-    try:
-        turbo = TurboMetrics(
+            batch = min(default_batch(source_ref.width, source_ref.height), total_hint)
+        return TurboMetrics(
             source_ref.width,
             source_ref.height,
             metrics,
             batch=batch,
             vmaf_model=vmaf_model,
         )
+
+    try:
+        turbo = make_engine()
     except Exception as e:
         log.error("Could not initialize engine : %s", e)
         return 1
@@ -197,8 +200,37 @@ def main(argv: list[str] | None = None) -> int:
         if pbar is not None:
             pbar.update(1)
 
+    # Segment loop: a mid-stream reconfiguration (new resolution/format)
+    # ends a segment; the engine is rebuilt at the new dimensions and the
+    # stream continues (completing what cudarse-video/src/dec.rs:172-195
+    # only warns about).  Per-segment results are merged at the end.
+    from turbo_metrics_tpu.engine import merge_results
+
     start = time.monotonic()
-    results = turbo.compute_all(source_ref, source_dis, opts, on_frame=on_frame)
+    segments = []
+    seg_opts = opts
+    while True:
+        results = turbo.compute_all(source_ref, source_dis, seg_opts, on_frame=on_frame)
+        segments.append(results)
+        if results.resolution_changed is None:
+            break
+        w2, h2 = source_ref.width, source_ref.height
+        if (source_dis.width, source_dis.height) != (w2, h2):
+            log.error(
+                "reference reconfigured to %dx%d but distorted is %dx%d; "
+                "cannot continue scoring",
+                w2, h2, source_dis.width, source_dis.height,
+            )
+            return 1
+        log.info("recompiling engine for new segment %dx%d", w2, h2)
+        remaining = (
+            max(0, seg_opts.frames - results.frame_count) if seg_opts.frames else 0
+        )
+        if seg_opts.frames and not remaining:
+            break
+        seg_opts = Options(every=seg_opts.every, frames=remaining)
+        turbo = make_engine()
+    results = merge_results(segments)
     elapsed = time.monotonic() - start
     if pbar is not None:
         pbar.close()

@@ -98,6 +98,10 @@ class MetricAggregate:
 @dataclass
 class MetricsResults:
     frame_count: int
+    # Set when the run stopped because a source reconfigured mid-stream
+    # (new (width, height) segment); the CLI rebuilds the engine and
+    # continues, merging segment results (see merge_results).
+    resolution_changed: Optional[tuple[int, int]] = None
     psnr: Optional[MetricAggregate] = None
     ssim: Optional[MetricAggregate] = None
     msssim: Optional[MetricAggregate] = None
@@ -137,6 +141,26 @@ def _aggregate(scores: Optional[list[float]]) -> Optional[MetricAggregate]:
     if scores is None:
         return None
     return MetricAggregate(scores=scores, stats=Stats.compute(scores))
+
+
+def merge_results(parts: list[MetricsResults]) -> MetricsResults:
+    """Concatenate per-segment results (mid-stream reconfiguration) into one
+    MetricsResults with stats recomputed over the full stream."""
+    if len(parts) == 1:
+        return parts[0]
+    merged = MetricsResults(frame_count=sum(p.frame_count for p in parts))
+    merged.resolution_changed = parts[-1].resolution_changed
+    for name in METRIC_NAMES:
+        scores: list[float] = []
+        any_set = False
+        for p in parts:
+            agg = getattr(p, name)
+            if agg is not None:
+                any_set = True
+                scores.extend(agg.scores)
+        if any_set:
+            setattr(merged, name, _aggregate(scores))
+    return merged
 
 
 # --------------------------------------------------------------------------
@@ -564,6 +588,9 @@ class TurboMetrics:
                     emit(s)
             compute_count += len(batch_scores)
 
+        from turbo_metrics_tpu.io.frame_source import ResolutionChanged
+
+        res_change: Optional[tuple[int, int]] = None
         if prefetch:
             from turbo_metrics_tpu.parallel.streaming import FramePrefetcher
 
@@ -574,15 +601,27 @@ class TurboMetrics:
                 every=opts.every,
                 frames=opts.frames,
             )
-            for batch_ref, batch_dis in batches:
-                consume(batch_ref, batch_dis)
+            try:
+                for batch_ref, batch_dis in batches:
+                    consume(batch_ref, batch_dis)
+            except ResolutionChanged as e:
+                res_change = (e.width, e.height)
         else:
             pend_ref: list[RawFrame] = []
             pend_dis: list[RawFrame] = []
             decode_count = 0
             while True:
-                fref = frames_ref.next_frame()
-                fdis = frames_dis.next_frame()
+                fref = fdis = None
+                try:
+                    fref = frames_ref.get_frame()
+                    fdis = frames_dis.get_frame()
+                except ResolutionChanged as e:
+                    # Keep the pair lockstep: return an already-fetched mate
+                    # so the new segment starts with matched frames.
+                    if fref is not None:
+                        frames_ref.push_back(fref)
+                    res_change = (e.width, e.height)
+                    break
                 if fref is None or fdis is None:
                     break
                 if opts.every > 1 and decode_count != 0 and decode_count % opts.every != 0:
@@ -606,6 +645,7 @@ class TurboMetrics:
 
         return MetricsResults(
             frame_count=compute_count,
+            resolution_changed=res_change,
             **{name: _aggregate(acc[name]) for name in METRIC_NAMES},
         )
 

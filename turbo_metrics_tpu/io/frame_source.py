@@ -60,6 +60,21 @@ class RawFrame:
         return self.rgb.shape[1] if self.rgb is not None else self.y.shape[1]
 
 
+class ResolutionChanged(RuntimeError):
+    """A source reconfigured mid-stream (new resolution/format segment).
+
+    The analog of NVDEC's sequence-callback reconfiguration
+    (cudarse-video/src/dec.rs:172-195).  The source has already resized its
+    buffers; ``width``/``height`` are the new dimensions and the first frame
+    of the new segment will be returned by the next ``get_frame()`` call.
+    """
+
+    def __init__(self, width: int, height: int):
+        super().__init__(f"stream reconfigured to {width}x{height}")
+        self.width = width
+        self.height = height
+
+
 class FrameSource(abc.ABC):
     """Streaming source of frames (turbo-metrics/src/lib.rs:148-156)."""
 
@@ -84,11 +99,25 @@ class FrameSource(abc.ABC):
 
     def skip_frames(self, n: int) -> None:
         for _ in range(n):
-            if self.next_frame() is None:
+            if self.get_frame() is None:
                 return
 
     @abc.abstractmethod
     def next_frame(self) -> Optional[RawFrame]: ...
+
+    def get_frame(self) -> Optional[RawFrame]:
+        """``next_frame`` with push-back support; callers should use this."""
+        pushed = getattr(self, "_pushed_back", None)
+        if pushed:
+            return pushed.pop()
+        return self.next_frame()
+
+    def push_back(self, frame: RawFrame) -> None:
+        """Return an already-fetched frame to the source (LIFO).  Used when a
+        paired fetch is interrupted by the other stream's reconfiguration."""
+        if not hasattr(self, "_pushed_back"):
+            self._pushed_back: list[RawFrame] = []
+        self._pushed_back.append(frame)
 
     def close(self) -> None:  # pragma: no cover - default no-op
         pass

@@ -10,6 +10,7 @@ frames stream to the device, the mode the reference itself plans for
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 from pathlib import Path
@@ -18,7 +19,14 @@ from typing import Optional
 import numpy as np
 
 from turbo_metrics_tpu.color.characteristics import ColorCharacteristics, height_fallback
-from turbo_metrics_tpu.io.frame_source import FormatIdentifier, FrameSource, RawFrame
+from turbo_metrics_tpu.io.frame_source import (
+    FormatIdentifier,
+    FrameSource,
+    RawFrame,
+    ResolutionChanged,
+)
+
+log = logging.getLogger("turbo_metrics_tpu")
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libturbodemux.so"
@@ -105,8 +113,13 @@ class NativeVideoSource(FrameSource):
         self._h = lib.tm_open(str(path).encode())
         if not self._h:
             raise ValueError(f"could not open video: {path}")
+        self._read_info_and_alloc()
+
+    def _read_info_and_alloc(self) -> None:
+        """(Re)read stream info and size the decode buffers accordingly.
+        Called at open and again after a -3 mid-stream reconfiguration."""
         info = _TmInfo()
-        lib.tm_info(self._h, ctypes.byref(info))
+        self._lib.tm_info(self._h, ctypes.byref(info))
         self.info = info
         self._depth = int(info.depth)
         self._dtype = np.uint8 if self._depth == 8 else np.uint16
@@ -164,9 +177,15 @@ class NativeVideoSource(FrameSource):
         if ret == 0:
             return None
         if ret == -3:
-            raise RuntimeError(
-                "mid-stream resolution change is not supported yet"
-            )
+            # Mid-stream reconfiguration (resolution or pixel-format change):
+            # the shim adopted the new format and stashed the frame.  Resize
+            # our buffers and signal the caller; the stashed frame arrives on
+            # the next get_frame() call.
+            old = (self._w, self._hgt, self._depth, self._chroma)
+            self._read_info_and_alloc()
+            new = (self._w, self._hgt, self._depth, self._chroma)
+            log.info("stream reconfigured: %s -> %s", old, new)
+            raise ResolutionChanged(self._w, self._hgt)
         if ret < 0:
             raise RuntimeError(f"decode error ({ret})")
         y = self._ybuf.copy()

@@ -467,3 +467,346 @@ def fused_scale_pallas(
     )(p1, p2)
     sums = out[:, :, :, :3, :6].sum(axis=(1, 2))  # reduce tile partials
     return sums, None, None
+
+
+# ---------------------------------------------------------------------------
+# v3: MXU blur passes + cross-step DMA double-buffering
+# ---------------------------------------------------------------------------
+
+
+def _band_matrix_w(cols: int, tile_w: int, taps, start: int) -> np.ndarray:
+    """(cols, tile_w) banded matrix so q @ Ww == the 11-tap W blur pass."""
+    m = np.zeros((cols, tile_w), np.float32)
+    j = np.arange(tile_w)
+    for k, t in enumerate(taps):
+        m[j + start + k, j] = np.float32(t)
+    return m
+
+
+def _band_matrix_h(tile_h: int, rows: int, taps, start: int) -> np.ndarray:
+    """(tile_h, rows) banded matrix so Hm @ qw == the 11-tap H blur pass."""
+    m = np.zeros((tile_h, rows), np.float32)
+    i = np.arange(tile_h)
+    for k, t in enumerate(taps):
+        m[i, i + start + k] = np.float32(t)
+    return m
+
+
+_PRECISIONS = {
+    "high": jax.lax.Precision.HIGH,  # 3-pass bf16 decomposition (~1e-6 rel)
+    "highest": jax.lax.Precision.HIGHEST,  # 6-pass, f32-exact
+}
+
+
+def _fused_scale_kernel_v3(
+    *refs,
+    h: int,
+    w: int,
+    tile_h: int,
+    tile_w: int,
+    nth: int,
+    ntw: int,
+    bsz: int,
+    taps: tuple[float, ...],
+    w_pass: str,
+    h_pass: str,
+    precision: str,
+    double_buffer: bool,
+):
+    # Unpack refs: inputs, optional band matrices, output, scratch, sems.
+    it = iter(refs)
+    lin1_hbm = next(it)
+    lin2_hbm = next(it)
+    wmat = next(it) if w_pass == "mxu" else None
+    hmat = next(it) if h_pass == "mxu" else None
+    out_ref = next(it)
+    t1 = next(it)
+    t2 = next(it)
+    sems = next(it)
+
+    p = pl.program_id(0)
+    th = pl.program_id(1)
+    tw = pl.program_id(2)
+    r = RADIUS
+    rows = tile_h + 2 * _ROW_HALO
+    cols = tile_w + 2 * _COL_HALO
+    prec = _PRECISIONS[precision]
+
+    if double_buffer:
+        nsteps = bsz * nth * ntw
+        step = (p * nth + th) * ntw + tw
+
+        def dma_pair(idx, slot):
+            p_ = idx // (nth * ntw)
+            rem = idx % (nth * ntw)
+            row0 = pl.multiple_of((rem // ntw) * tile_h, 8)
+            col0 = pl.multiple_of((rem % ntw) * tile_w, 128)
+            d1 = pltpu.make_async_copy(
+                lin1_hbm.at[p_, :, pl.ds(row0, rows), pl.ds(col0, cols)],
+                t1.at[slot],
+                sems.at[slot, 0],
+            )
+            d2 = pltpu.make_async_copy(
+                lin2_hbm.at[p_, :, pl.ds(row0, rows), pl.ds(col0, cols)],
+                t2.at[slot],
+                sems.at[slot, 1],
+            )
+            return d1, d2
+
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _():
+            d1, d2 = dma_pair(step, slot)
+            d1.start()
+            d2.start()
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            d1, d2 = dma_pair(step + 1, jax.lax.rem(step + 1, 2))
+            d1.start()
+            d2.start()
+
+        d1, d2 = dma_pair(step, slot)
+        d1.wait()
+        d2.wait()
+        a3 = t1[slot]
+        b3 = t2[slot]
+    else:
+        row0 = pl.multiple_of(th * tile_h, 8)
+        col0 = pl.multiple_of(tw * tile_w, 128)
+        d1 = pltpu.make_async_copy(
+            lin1_hbm.at[p, :, pl.ds(row0, rows), pl.ds(col0, cols)], t1, sems.at[0, 0]
+        )
+        d2 = pltpu.make_async_copy(
+            lin2_hbm.at[p, :, pl.ds(row0, rows), pl.ds(col0, cols)], t2, sems.at[0, 1]
+        )
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+        a3 = t1[:]
+        b3 = t2[:]
+
+    row0 = pl.multiple_of(th * tile_h, 8)
+    col0 = pl.multiple_of(tw * tile_w, 128)
+
+    # Validity mask over the padded tile (zero XYB outside the image).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=1)
+    gr_ids = row_ids + row0 - _ROW_HALO
+    gc_ids = col_ids + col0 - _COL_HALO
+    valid = (
+        (gr_ids >= 0) & (gr_ids < h) & (gc_ids >= 0) & (gc_ids < w)
+    ).astype(jnp.float32)
+
+    def opsin_mix(t, row):
+        m = OPSIN_ABSORBANCE_MATRIX
+        bias = OPSIN_ABSORBANCE_BIAS
+        root = OPSIN_ABSORBANCE_BIAS_ROOT
+        third = np.float32(1.0 / 3.0)
+        v = m[row, 0] * t[0] + m[row, 1] * t[1] + m[row, 2] * t[2] + bias
+        v = jnp.maximum(v, 0.0)
+        y0 = jnp.power(v, third)
+        y1 = (np.float32(2.0) * y0 + v / (y0 * y0)) * third
+        return y1 - root
+
+    mixes = [(opsin_mix(t, 0), opsin_mix(t, 1)) for t in (a3, b3)]
+
+    def xyb_channel(idx, c):
+        rg, gr = mixes[idx]
+        if c == 0:
+            val = (rg - gr) * np.float32(0.5) * np.float32(14.0) + np.float32(0.42)
+        elif c == 1:
+            val = (rg + gr) * np.float32(0.5) + np.float32(0.01)
+        else:
+            y = (rg + gr) * np.float32(0.5)
+            val = opsin_mix((a3, b3)[idx], 2) - y + np.float32(0.55)
+        return val * valid
+
+    tp = [jnp.float32(v) for v in taps]
+
+    def blur(q):
+        if w_pass == "mxu":
+            qw = jax.lax.dot_general(
+                q, wmat[...],
+                (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            qw = _blur_w(q, tp, _COL_HALO - r, tile_w)
+        if h_pass == "mxu":
+            return jax.lax.dot_general(
+                hmat[...], qw,
+                (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+        return _blur_h(qw, tp, _ROW_HALO - r, tile_h)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    one = jnp.float32(1.0)
+    for c in range(3):
+        a = xyb_channel(0, c)
+        b = xyb_channel(1, c)
+        # 4 blurs instead of 5: the maps only ever use s11 + s22 (the SSIM
+        # denominator sums the two centred variances), so blur(a^2) and
+        # blur(b^2) collapse into one blur(a^2 + b^2) by linearity.
+        mu1, mu2, s_sum, s12 = (blur(q) for q in (a, b, a * a + b * b, a * b))
+
+        i1 = jax.lax.slice(
+            a, (_ROW_HALO, _COL_HALO), (_ROW_HALO + tile_h, _COL_HALO + tile_w)
+        )
+        i2 = jax.lax.slice(
+            b, (_ROW_HALO, _COL_HALO), (_ROW_HALO + tile_h, _COL_HALO + tile_w)
+        )
+
+        mu12 = mu1 * mu2
+        mu_diff = mu1 - mu2
+        num_m = one - mu_diff * mu_diff
+        num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+        denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+
+        aa = jnp.abs(i2 - mu2)
+        bb2 = jnp.abs(i1 - mu1)
+        d1m = (aa - bb2) / (one + bb2)
+        art = jnp.maximum(d1m, 0.0)
+        det = jnp.maximum(-d1m, 0.0)
+
+        mask = jax.lax.slice(
+            valid, (_ROW_HALO, _COL_HALO), (_ROW_HALO + tile_h, _COL_HALO + tile_w)
+        )
+        d = d * mask
+        art = art * mask
+        det = det * mask
+        d2 = d * d
+        art2 = art * art
+        det2 = det * det
+        partial = jnp.stack(
+            [
+                jnp.sum(d),
+                jnp.sum(d2 * d2),
+                jnp.sum(art),
+                jnp.sum(art2 * art2),
+                jnp.sum(det),
+                jnp.sum(det2 * det2),
+                jnp.float32(0.0),
+                jnp.float32(0.0),
+            ]
+        )
+        out_ref[0, 0, 0, c, :] = partial
+
+
+def fused_scale_pallas_v3(
+    lin1: jax.Array,
+    lin2: jax.Array,
+    *,
+    tile_h: int | None = None,
+    tile_w: int | None = None,
+    w_pass: str = "vpu",
+    h_pass: str = "mxu",
+    precision: str = "highest",
+    double_buffer: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Tunable fused scale kernel: blur passes on VPU or MXU (banded matmul),
+    optional cross-step double-buffered input DMA.  Returns (B, 3, 6) sums.
+
+    The MXU H pass replaces 11 sublane-rotated FMA sweeps with one banded
+    matmul that overlaps the VPU map/XYB work; 'highest' keeps f32-exact
+    6-pass products, 'high' uses the 3-pass bf16 decomposition (~1e-6 rel).
+    """
+    bsz, ch, h, w = lin1.shape
+    assert ch == 3
+    tile_h = tile_h or min(TILE_H, _round_up(h, 8))
+    tile_h = min(tile_h, _round_up(h, 8))
+    tile_w = tile_w or min(TILE_W, _round_up(w, 128))
+    tile_w = min(tile_w, _round_up(w, 128))
+    nth = -(-h // tile_h)
+    ntw = -(-w // tile_w)
+    hp = _ROW_HALO + nth * tile_h + _ROW_HALO
+    wp = _COL_HALO + ntw * tile_w + _COL_HALO
+    rows = tile_h + 2 * _ROW_HALO
+    cols = tile_w + 2 * _COL_HALO
+
+    def pad(x):
+        return jnp.pad(
+            x,
+            (
+                (0, 0),
+                (0, 0),
+                (_ROW_HALO, hp - h - _ROW_HALO),
+                (_COL_HALO, wp - w - _COL_HALO),
+            ),
+        )
+
+    p1 = pad(lin1)
+    p2 = pad(lin2)
+    taps = tuple(float(v) for v in gaussian_taps())
+    r = RADIUS
+
+    inputs = [p1, p2]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if w_pass == "mxu":
+        inputs.append(jnp.asarray(_band_matrix_w(cols, tile_w, taps, _COL_HALO - r)))
+        in_specs.append(
+            pl.BlockSpec((cols, tile_w), lambda p, th, tw: (0, 0))
+        )
+    if h_pass == "mxu":
+        inputs.append(jnp.asarray(_band_matrix_h(tile_h, rows, taps, _ROW_HALO - r)))
+        in_specs.append(
+            pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0))
+        )
+
+    nbuf = 2 if double_buffer else 1
+    kernel = functools.partial(
+        _fused_scale_kernel_v3,
+        h=h,
+        w=w,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        nth=nth,
+        ntw=ntw,
+        bsz=bsz,
+        taps=taps,
+        w_pass=w_pass,
+        h_pass=h_pass,
+        precision=precision,
+        double_buffer=double_buffer,
+    )
+    scratch_in = (
+        pltpu.VMEM((nbuf, 3, rows, cols), jnp.float32)
+        if double_buffer
+        else pltpu.VMEM((3, rows, cols), jnp.float32)
+    )
+    scratch_in2 = (
+        pltpu.VMEM((nbuf, 3, rows, cols), jnp.float32)
+        if double_buffer
+        else pltpu.VMEM((3, rows, cols), jnp.float32)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nth, ntw),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, 8, 8),
+            lambda p, th, tw: (p, th, tw, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32),
+        scratch_shapes=[
+            scratch_in,
+            scratch_in2,
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out[:, :, :, :3, :6].sum(axis=(1, 2))

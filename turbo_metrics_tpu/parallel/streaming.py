@@ -43,6 +43,10 @@ class FramePrefetcher:
         self._thread.start()
 
     def _worker(self, src_r, src_d, batch, every, frames):
+        from turbo_metrics_tpu.io.frame_source import ResolutionChanged
+
+        pend_r: list[RawFrame] = []
+        pend_d: list[RawFrame] = []
         try:
             # Decode the two streams concurrently (the reference runs ref and
             # dis decode on separate CUDA streams, lib.rs:276-293; here each
@@ -50,14 +54,29 @@ class FramePrefetcher:
             from concurrent.futures import ThreadPoolExecutor
 
             pool = ThreadPoolExecutor(max_workers=2)
-            pend_r: list[RawFrame] = []
-            pend_d: list[RawFrame] = []
             decode_count = 0
             while True:
-                fut_r = pool.submit(src_r.next_frame)
-                fut_d = pool.submit(src_d.next_frame)
-                fr = fut_r.result()
-                fd = fut_d.result()
+                fut_r = pool.submit(src_r.get_frame)
+                fut_d = pool.submit(src_d.get_frame)
+                exc = None
+                fr = fd = None
+                try:
+                    fr = fut_r.result()
+                except ResolutionChanged as e:
+                    exc = e
+                try:
+                    fd = fut_d.result()
+                except ResolutionChanged as e:
+                    exc = exc or e
+                if exc is not None:
+                    # Keep the pair lockstep across the segment boundary: an
+                    # already-fetched mate goes back to its source so the new
+                    # segment starts with matched frames.
+                    if fr is not None:
+                        src_r.push_back(fr)
+                    if fd is not None:
+                        src_d.push_back(fd)
+                    raise exc
                 if fr is None or fd is None:
                     break
                 if every > 1 and decode_count != 0 and decode_count % every != 0:
@@ -73,7 +92,12 @@ class FramePrefetcher:
                     pend_r, pend_d = [], []
             if pend_r:
                 self._q.put((pend_r, pend_d))
+                pend_r, pend_d = [], []
         except BaseException as e:  # propagate to consumer
+            # Flush the partial batch first: those frames were scored-worthy
+            # decodes from before the fault/reconfiguration point.
+            if pend_r:
+                self._q.put((pend_r, pend_d))
             self._error = e
         finally:
             self._q.put(None)
