@@ -7,8 +7,8 @@
 // into caller-provided buffers so Python keeps ownership and can overlap
 // decode with device compute.
 //
-// Build: g++ -O2 -shared -fPIC turbodemux.cpp -o libturbodemux.so \
-//            -lavformat -lavcodec -lavutil
+// Build: g++ -O2 -shared -fPIC turbodemux.cpp -o libturbodemux.so
+//        -lavformat -lavcodec -lavutil
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -25,6 +25,7 @@ struct TmHandle {
     AVCodecContext* dec = nullptr;
     AVPacket* pkt = nullptr;
     AVFrame* frame = nullptr;
+    AVIOContext* avio = nullptr;  // set for callback-driven (stream) input
     int stream_index = -1;
     int eof = 0;
     // Currently negotiated output geometry/format.  Mid-stream changes
@@ -54,25 +55,56 @@ struct TmInfo {
     char container_name[32];
 };
 
-extern "C" {
+// Caller-supplied IO callbacks for streaming input (stdin, pipes, Python
+// file objects) — the role NVDEC's pull-mode demuxer feeding plays in the
+// reference, without requiring a seekable file.
+typedef int (*tm_read_cb)(void* opaque, uint8_t* buf, int len);
+typedef int64_t (*tm_seek_cb)(void* opaque, int64_t offset, int whence);
 
-TmHandle* tm_open(const char* path) {
-    auto* h = new TmHandle();
-    if (avformat_open_input(&h->fmt, path, nullptr, nullptr) < 0) {
-        delete h;
-        return nullptr;
+struct TmIoShim {
+    tm_read_cb read_cb;
+    tm_seek_cb seek_cb;
+    void* opaque;
+};
+
+static int tm_io_read(void* opaque, uint8_t* buf, int len) {
+    auto* io = (TmIoShim*)opaque;
+    int n = io->read_cb(io->opaque, buf, len);
+    if (n == 0) return AVERROR_EOF;
+    if (n < 0) return AVERROR(EIO);
+    return n;
+}
+
+static int64_t tm_io_seek(void* opaque, int64_t offset, int whence) {
+    auto* io = (TmIoShim*)opaque;
+    return io->seek_cb(io->opaque, offset, whence);
+}
+
+static void tm_free(TmHandle* h) {
+    av_frame_free(&h->frame);
+    av_packet_free(&h->pkt);
+    avcodec_free_context(&h->dec);
+    avformat_close_input(&h->fmt);
+    if (h->avio) {
+        av_freep(&h->avio->buffer);
+        delete (TmIoShim*)h->avio->opaque;
+        avio_context_free(&h->avio);
     }
+    delete h;
+}
+
+// Shared tail of tm_open/tm_open_io: pick the video stream, open the
+// decoder, initialise the negotiated format.
+static TmHandle* tm_setup(TmHandle* h) {
     if (avformat_find_stream_info(h->fmt, nullptr) < 0) {
-        avformat_close_input(&h->fmt);
-        delete h;
+        tm_free(h);
         return nullptr;
     }
     const AVCodec* codec = nullptr;
     h->stream_index =
         av_find_best_stream(h->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
     if (h->stream_index < 0 || !codec) {
-        avformat_close_input(&h->fmt);
-        delete h;
+        tm_free(h);
         return nullptr;
     }
     AVStream* st = h->fmt->streams[h->stream_index];
@@ -80,9 +112,7 @@ TmHandle* tm_open(const char* path) {
     avcodec_parameters_to_context(h->dec, st->codecpar);
     h->dec->thread_count = 0;  // auto
     if (avcodec_open2(h->dec, codec, nullptr) < 0) {
-        avcodec_free_context(&h->dec);
-        avformat_close_input(&h->fmt);
-        delete h;
+        tm_free(h);
         return nullptr;
     }
     h->pkt = av_packet_alloc();
@@ -91,6 +121,46 @@ TmHandle* tm_open(const char* path) {
     h->cur_h = st->codecpar->height;
     h->cur_fmt = st->codecpar->format;
     return h;
+}
+
+extern "C" {
+
+TmHandle* tm_open(const char* path) {
+    auto* h = new TmHandle();
+    if (avformat_open_input(&h->fmt, path, nullptr, nullptr) < 0) {
+        delete h;
+        return nullptr;
+    }
+    return tm_setup(h);
+}
+
+// Streaming variant: demux via read (and optional seek) callbacks instead of
+// a file path.  seek_cb may be null for non-seekable sources (stdin).
+TmHandle* tm_open_io(tm_read_cb read_cb, tm_seek_cb seek_cb, void* opaque) {
+    if (!read_cb) return nullptr;
+    auto* h = new TmHandle();
+    auto* io = new TmIoShim{read_cb, seek_cb, opaque};
+    constexpr int kBufSize = 1 << 16;
+    uint8_t* buf = (uint8_t*)av_malloc(kBufSize);
+    h->avio = avio_alloc_context(buf, kBufSize, 0, io, tm_io_read, nullptr,
+                                 seek_cb ? tm_io_seek : nullptr);
+    if (!h->avio) {
+        av_freep(&buf);
+        delete io;
+        delete h;
+        return nullptr;
+    }
+    h->fmt = avformat_alloc_context();
+    h->fmt->pb = h->avio;
+    if (avformat_open_input(&h->fmt, nullptr, nullptr, nullptr) < 0) {
+        // avformat_open_input frees h->fmt on failure but not the avio ctx.
+        av_freep(&h->avio->buffer);
+        delete io;
+        avio_context_free(&h->avio);
+        delete h;
+        return nullptr;
+    }
+    return tm_setup(h);
 }
 
 int tm_info(TmHandle* h, TmInfo* out) {
@@ -197,11 +267,7 @@ int tm_next_frame(TmHandle* h, uint8_t* y, uint8_t* u, uint8_t* v) {
 
 void tm_close(TmHandle* h) {
     if (!h) return;
-    av_frame_free(&h->frame);
-    av_packet_free(&h->pkt);
-    avcodec_free_context(&h->dec);
-    avformat_close_input(&h->fmt);
-    delete h;
+    tm_free(h);
 }
 
 // Decoder availability probe (e.g. "h264", "av1", "mpeg2video").

@@ -51,6 +51,15 @@ class _TmInfo(ctypes.Structure):
 _lib: Optional[ctypes.CDLL] = None
 _lib_error: Optional[str] = None
 
+# AVIO callback signatures (native/turbodemux.cpp tm_open_io).
+_READ_CB = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int
+)
+_SEEK_CB = ctypes.CFUNCTYPE(
+    ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int
+)
+_AVSEEK_SIZE = 0x10000
+
 
 def _build_library() -> bool:
     try:
@@ -82,6 +91,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         return None
     lib.tm_open.restype = ctypes.c_void_p
     lib.tm_open.argtypes = [ctypes.c_char_p]
+    lib.tm_open_io.restype = ctypes.c_void_p
+    lib.tm_open_io.argtypes = [_READ_CB, _SEEK_CB, ctypes.c_void_p]
     lib.tm_info.restype = ctypes.c_int
     lib.tm_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(_TmInfo)]
     lib.tm_next_frame.restype = ctypes.c_int
@@ -105,15 +116,72 @@ class NativeVideoSource(FrameSource):
     converted to 4:2:0-compatible chroma by 2x2 averaging on the host).
     """
 
-    def __init__(self, path: str | os.PathLike):
+    def __init__(
+        self,
+        path: str | os.PathLike | None = None,
+        *,
+        stream=None,
+        container_meta: Optional[dict] = None,
+    ):
+        """Open a file path, or a binary stream (stdin, pipes, BytesIO)
+        via libav AVIO read/seek callbacks — no temp-file spill.
+
+        ``container_meta`` (from the pure-Python MKV header parse,
+        io/probe.py) cross-checks geometry and supplies container-level
+        colour metadata / frame counts that libav's codec probe may miss."""
         lib = load_library()
         if lib is None:
             raise RuntimeError(f"native demuxer unavailable: {_lib_error}")
         self._lib = lib
-        self._h = lib.tm_open(str(path).encode())
+        self._cbs: tuple = ()  # keep callback thunks alive for the handle
+        self._meta = container_meta
+        if stream is not None:
+            self._h = self._open_stream(stream)
+            name = getattr(stream, "name", "<stream>")
+        else:
+            if path is None:
+                raise ValueError("need a path or a stream")
+            self._h = lib.tm_open(str(path).encode())
+            name = path
         if not self._h:
-            raise ValueError(f"could not open video: {path}")
+            raise ValueError(f"could not open video: {name}")
         self._read_info_and_alloc()
+        if container_meta and container_meta.get("width"):
+            mw, mh = container_meta["width"], container_meta["height"]
+            if (mw, mh) != (self._w, self._hgt):
+                log.warning(
+                    "container header says %dx%d but decoder reports %dx%d",
+                    mw, mh, self._w, self._hgt,
+                )
+
+    def _open_stream(self, stream) -> int:
+        def read(_opaque, buf, n):
+            try:
+                data = stream.read(n)
+            except Exception:
+                return -1
+            if not data:
+                return 0
+            ctypes.memmove(buf, data, len(data))
+            return len(data)
+
+        read_cb = _READ_CB(read)
+        seek_cb = _SEEK_CB()  # NULL unless seekable
+        if stream.seekable():
+            def seek(_opaque, offset, whence):
+                try:
+                    if whence == _AVSEEK_SIZE:
+                        pos = stream.tell()
+                        size = stream.seek(0, os.SEEK_END)
+                        stream.seek(pos)
+                        return size
+                    return stream.seek(offset, whence)
+                except Exception:
+                    return -1
+
+            seek_cb = _SEEK_CB(seek)
+        self._cbs = (read_cb, seek_cb)
+        return self._lib.tm_open_io(read_cb, seek_cb, None)
 
     def _read_info_and_alloc(self) -> None:
         """(Re)read stream info and size the decode buffers accordingly.
@@ -160,12 +228,23 @@ class NativeVideoSource(FrameSource):
             int(self.info.color_space),
             int(self.info.color_trc),
         )
+        # Bitstream metadata wins; the container's MKV Colour elements fill
+        # what the codec probe left unspecified; height fallback last
+        # (turbo-metrics/src/color.rs:36-78 ordering).
+        if self._meta and self._meta.get("cc") is not None:
+            cc = cc.or_fallback(self._meta["cc"])
         cc = cc.or_fallback(height_fallback(self._hgt))
-        crange = "full" if self.info.full_range == 1 else "limited"
+        if self.info.full_range in (0, 1):
+            crange = "full" if self.info.full_range == 1 else "limited"
+        else:
+            crange = (self._meta or {}).get("range") or "limited"
         return cc, crange
 
     def frame_count(self) -> int:
-        return max(0, int(self.info.frame_count))
+        n = max(0, int(self.info.frame_count))
+        if not n and self._meta:
+            n = max(0, int(self._meta.get("frame_count") or 0))
+        return n
 
     def next_frame(self) -> Optional[RawFrame]:
         ret = self._lib.tm_next_frame(
