@@ -88,3 +88,64 @@ def test_batched_scores_match_single(rng):
         assert batch_scores[i] == pytest.approx(single, abs=1e-6)
     # more noise => lower score
     assert batch_scores[0] > batch_scores[1] > batch_scores[2]
+
+
+def test_iir_backend_matches_iir_oracle(rng):
+    """The device f32-IIR blur mode tracks the faithful reference recursion
+    far tighter than the FIR path does (VERDICT r1: +/-0.05 vs the IIR
+    oracle; the FIR-vs-IIR gap is ~0.13 at SD+)."""
+    h, w = 96, 128
+    ref, dis = make_frame_pair(rng, h, w, noise=0.04)
+    want_iir = oracle.compute_ssimulacra2(ref, dis, blur_impl="iir")
+    engine = Ssimulacra2(w, h, backend="jnp_iir")
+    got = engine.score_pair(ref, dis)
+    assert got == pytest.approx(want_iir, abs=0.01)
+
+
+def test_iir_blur_matches_oracle_blur(rng):
+    """blur_2d_iir reproduces the reference recursion plane-for-plane."""
+    from turbo_metrics_tpu.ops.gaussian import blur_2d_iir
+    from turbo_metrics_tpu.refimpl.ssimulacra2 import blur as oracle_blur
+
+    x = rng.random((37, 53)).astype(np.float32)
+    want = oracle_blur(x)
+    got = np.asarray(blur_2d_iir(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)  # f32 FMA-order noise
+
+
+def test_golden_score_frozen():
+    """Golden-score regression anchored to the reference's sample-pair
+    methodology (ssimulacra2-cuda/examples/compare.rs:70-95: one fixed image
+    pair, CPU reference value, tolerance gate).  The canonical C scorer is
+    not available in this environment, so the anchor is this repo's f64
+    NumPy oracle on a frozen procedural pair — the value below must never
+    drift (oracle gate 1e-4), and the device pipeline must stay within the
+    BASELINE.md +/-0.05 budget of it (the reference's own GPU gate was
+    +/-0.25)."""
+    from turbo_metrics_tpu.refimpl.ssimulacra2 import srgb8_to_linear
+
+    rng = np.random.default_rng(20240901)
+    h, w = 120, 160
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack(
+        [
+            128 + 90 * np.sin(xx / 13.0) * np.cos(yy / 11.0),
+            128 + 70 * np.cos(xx / 7.0),
+            128 + 50 * np.sin((xx + yy) / 19.0),
+        ],
+        axis=-1,
+    )
+    ref8 = np.clip(base, 0, 255).astype(np.uint8)
+    dis8 = np.clip(
+        ref8.astype(np.int16) + rng.integers(-9, 10, ref8.shape), 0, 255
+    ).astype(np.uint8)
+    lin_ref = srgb8_to_linear(ref8)
+    lin_dis = srgb8_to_linear(dis8)
+
+    GOLDEN = 80.486135  # f64 NumPy oracle (FIR blur), frozen 2026-08-16
+    got_oracle = oracle.compute_ssimulacra2(lin_ref, lin_dis, blur_impl="fir")
+    assert got_oracle == pytest.approx(GOLDEN, abs=1e-4)
+
+    engine = Ssimulacra2(w, h)
+    got_device = engine.score_pair(lin_ref, lin_dis)
+    assert got_device == pytest.approx(GOLDEN, abs=0.05)

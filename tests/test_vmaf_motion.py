@@ -5,9 +5,26 @@ import pytest
 
 import jax
 
-from turbo_metrics_tpu.models.vmaf import VmafFeatures
 from turbo_metrics_tpu.ops.vmaf_motion import integer_blur, motion_score
 from turbo_metrics_tpu.refimpl import vmaf_motion as oracle
+
+
+def _motion_engine(w, h, batch):
+    """The motion feature through the one product engine."""
+    from turbo_metrics_tpu.color.characteristics import height_fallback
+    from turbo_metrics_tpu.engine import Metrics, TurboMetrics
+
+    eng = TurboMetrics(w, h, Metrics(vmaf=True), batch=batch)
+    cc = (height_fallback(h), "limited")
+
+    def compute(y_frames):
+        from turbo_metrics_tpu.io.frame_source import RawFrame
+
+        uv = np.full(((h + 1) // 2, (w + 1) // 2, 2), 128, np.uint8)
+        fr = [RawFrame(y=y, uv=uv, depth=8) for y in y_frames]
+        return [s.vmaf_motion for s in eng.compute_frames(fr, cc, fr, cc)]
+
+    return compute
 
 
 def test_integer_blur_bit_exact(rng):
@@ -29,8 +46,8 @@ def test_integer_blur_10bit(rng):
 def test_motion_stream_matches_oracle(rng):
     h, w = 28, 36
     frames = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(5)]
-    eng = VmafFeatures(w, h)
-    got = eng.compute_batch(np.stack(frames[:3])) + eng.compute_batch(np.stack(frames[3:]))
+    eng = _motion_engine(w, h, 3)
+    got = eng(frames[:3]) + eng(frames[3:])
 
     prev = None
     want = []
@@ -44,8 +61,7 @@ def test_motion_stream_matches_oracle(rng):
 
 def test_static_scene_zero_motion():
     y = np.full((3, 32, 32), 77, np.uint8)
-    eng = VmafFeatures(32, 32)
-    assert eng.compute_batch(y) == [0.0, 0.0, 0.0]
+    assert _motion_engine(32, 32, 3)(list(y)) == [0.0, 0.0, 0.0]
 
 
 # ---------------------------------------------------------------------------

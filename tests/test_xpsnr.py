@@ -5,9 +5,27 @@ import pytest
 
 import jax
 
-from turbo_metrics_tpu.models.xpsnr import Xpsnr
 from turbo_metrics_tpu.ops.xpsnr_ops import xpsnr_block_stats, xpsnr_db, xpsnr_weights
 from turbo_metrics_tpu.refimpl import xpsnr as oracle
+
+
+def _xpsnr_engine(w, h, batch):
+    """XPSNR through the one product engine (no duplicate streaming logic)."""
+    from turbo_metrics_tpu.color.characteristics import height_fallback
+    from turbo_metrics_tpu.engine import Metrics, TurboMetrics
+
+    eng = TurboMetrics(w, h, Metrics(xpsnr=True), batch=batch)
+    cc = (height_fallback(h), "limited")
+
+    def compute(y_ref, y_dis):
+        from turbo_metrics_tpu.io.frame_source import RawFrame
+
+        uv = np.full(((h + 1) // 2, (w + 1) // 2, 2), 128, np.uint8)
+        fr = [RawFrame(y=y, uv=uv, depth=8) for y in y_ref]
+        fd = [RawFrame(y=y, uv=uv, depth=8) for y in y_dis]
+        return [s.xpsnr for s in eng.compute_frames(fr, cc, fd, cc)]
+
+    return compute
 
 
 def test_block_stats_match_oracle(rng):
@@ -37,8 +55,7 @@ def test_xpsnr_matches_oracle(rng, hw):
         ref.astype(np.int16) + rng.integers(-8, 9, ref.shape), 0, 255
     ).astype(np.uint8)
 
-    eng = Xpsnr(w, h)
-    got = eng.compute_batch(ref, dis)
+    got = _xpsnr_engine(w, h, 3)(list(ref), list(dis))
 
     prev = None
     for i in range(3):
@@ -52,17 +69,16 @@ def test_xpsnr_streaming_state_matches_one_shot(rng):
     h, w = 48, 64
     ref = rng.integers(0, 256, (4, h, w), dtype=np.uint8)
     dis = np.clip(ref.astype(np.int16) + rng.integers(-5, 6, ref.shape), 0, 255).astype(np.uint8)
-    a = Xpsnr(w, h)
-    one_shot = a.compute_batch(ref, dis)
-    b = Xpsnr(w, h)
-    chunked = b.compute_batch(ref[:2], dis[:2]) + b.compute_batch(ref[2:], dis[2:])
+    one_shot = _xpsnr_engine(w, h, 4)(list(ref), list(dis))
+    b = _xpsnr_engine(w, h, 2)
+    chunked = b(list(ref[:2]), list(dis[:2])) + b(list(ref[2:]), list(dis[2:]))
     np.testing.assert_allclose(one_shot, chunked, rtol=0, atol=0)
 
 
 def test_identical_frames_inf():
     y = np.full((2, 32, 32), 128, np.uint8)
-    eng = Xpsnr(32, 32)
-    assert all(np.isinf(s) for s in eng.compute_batch(y, y))
+    got = _xpsnr_engine(32, 32, 2)(list(y), list(y))
+    assert all(np.isinf(s) for s in got)
 
 
 def test_weight_smoothing_only_small_frames(rng):

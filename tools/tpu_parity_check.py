@@ -58,28 +58,32 @@ def main() -> int:
         dis = np.clip(ref + rng.normal(0, noise, ref.shape).astype(np.float32), 0, 1)
 
         dev = Ssimulacra2(w, h).score_pair(ref, dis)
+        dev_iir = Ssimulacra2(w, h, backend="jnp_iir").score_pair(ref, dis)
         cpu_iir = compute_ssimulacra2(ref, dis)  # faithful reference recursion
         cpu_fir = compute_ssimulacra2(ref, dis, blur_impl="fir")  # device math
         d_fir = abs(dev - cpu_fir)
-        d_iir = abs(dev - cpu_iir)
+        d_iir = abs(dev_iir - cpu_iir)
         worst = max(worst, d_fir)
         worst_iir = max(worst_iir, d_iir)
-        # Two gates: the device must match its own exact-filter math to 0.05
-        # (it measures ~3e-4); against the f32-recursive reference the spread
-        # is the blur formulations' inherent f32 noise — gated at the
-        # reference project's own 0.25 (compare.rs:70-74).
-        ok = d_fir < 0.05 and d_iir < 0.25
+        # Two gates, each device mode against its matching oracle at the
+        # BASELINE.md budget of 0.05 (the reference project's own GPU gate
+        # was 0.25, compare.rs:70-74):
+        #   * default (FIR megakernel) vs the exact-filter oracle;
+        #   * jnp_iir (faithful f32 recursion) vs the recursive oracle.
+        ok = d_fir < 0.05 and d_iir < 0.05
         status = "OK " if ok else "FAIL"
         print(
             f"{status} {w}x{h} noise={noise}: device={dev:.4f} "
             f"oracleFIR={cpu_fir:.4f} (d={d_fir:.5f}) "
-            f"oracleIIR={cpu_iir:.4f} (d={d_iir:.5f})",
+            f"deviceIIR={dev_iir:.4f} oracleIIR={cpu_iir:.4f} (d={d_iir:.5f}) "
+            f"[FIR-vs-IIR formulation spread "
+            f"{abs(cpu_fir - cpu_iir):.5f}]",
             flush=True,
         )
 
-    print(f"worst: vs FIR oracle {worst:.5f} (budget 0.05), "
-          f"vs IIR oracle {worst_iir:.5f} (budget 0.25)")
-    return 0 if worst < 0.05 and worst_iir < 0.25 else 1
+    print(f"worst: FIR-mode vs FIR oracle {worst:.5f} (budget 0.05), "
+          f"IIR-mode vs IIR oracle {worst_iir:.5f} (budget 0.05)")
+    return 0 if worst < 0.05 and worst_iir < 0.05 else 1
 
 
 if __name__ == "__main__":

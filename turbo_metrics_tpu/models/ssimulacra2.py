@@ -64,11 +64,14 @@ def ssimulacra2_subscores(
         backend = default_backend()
 
     if backend in ("pallas2", "interpret2"):
-        # Fully fused path: XYB + blur + maps + sums + next-level downscale
-        # in one kernel per scale (ops/pallas/scale_stats.py v2).
+        # Fully fused path, one kernel per scale (ops/pallas/scale_stats.py
+        # v3): XYB + 4-blur (s11+s22 collapsed by linearity) + maps + sums,
+        # H blur pass on the MXU, input DMA double-buffered across grid
+        # steps.  Config picked by on-chip sweep (tools/perf_lab.py):
+        # 64x1024 tiles, HIGHEST matmul precision (f32-exact).
         from turbo_metrics_tpu.ops.pallas.convert import downscale_by_2_pallas
         from turbo_metrics_tpu.ops.pallas.scale_stats import (
-            fused_scale_pallas,
+            fused_scale_pallas_v3,
             norms_from_sums,
         )
 
@@ -76,8 +79,14 @@ def ssimulacra2_subscores(
         per_scale = []
         for s in range(num_scales):
             h, w = lin_ref.shape[-2], lin_ref.shape[-1]
-            sums, _, _ = fused_scale_pallas(
-                lin_ref, lin_dis, emit_ds=False, interpret=interp
+            sums = fused_scale_pallas_v3(
+                lin_ref,
+                lin_dis,
+                tile_h=64,
+                tile_w=1024,
+                h_pass="mxu",
+                double_buffer=True,
+                interpret=interp,
             )
             per_scale.append(norms_from_sums(sums, h * w))
             if s < num_scales - 1:
@@ -87,6 +96,16 @@ def ssimulacra2_subscores(
                 lin_ref = downscale_by_2_pallas(lin_ref, interpret=interp)
                 lin_dis = downscale_by_2_pallas(lin_dis, interpret=interp)
         return jnp.stack(per_scale, axis=2)
+
+    # 'jnp_iir': the faithful f32 recursive-Gaussian blur (parity mode — the
+    # recursion the canonical CPU implementations use, with their rounding
+    # drift; see ops/gaussian.py blur_2d_iir).  ~10x slower than the FIR
+    # paths; use for tight score-parity validation against the reference.
+    blur_fn = blur_2d
+    if backend == "jnp_iir":
+        from turbo_metrics_tpu.ops.gaussian import blur_2d_iir
+
+        blur_fn = blur_2d_iir
 
     per_scale = []
     for s in range(num_scales):
@@ -114,7 +133,7 @@ def ssimulacra2_subscores(
             stacked = jnp.concatenate(
                 [xyb1, xyb2, xyb1 * xyb1, xyb2 * xyb2, xyb1 * xyb2], axis=1
             )
-            mu1, mu2, s11, s22, s12 = jnp.split(blur_2d(stacked), 5, axis=1)
+            mu1, mu2, s11, s22, s12 = jnp.split(blur_fn(stacked), 5, axis=1)
             per_scale.append(scale_norms(xyb1, xyb2, mu1, mu2, s11, s22, s12))
     return jnp.stack(per_scale, axis=2)
 
@@ -127,14 +146,20 @@ class Ssimulacra2:
     for every frame pair — memory is O(1) in video length.
     """
 
-    def __init__(self, width: int, height: int, *, batch: int = 1):
+    def __init__(
+        self, width: int, height: int, *, batch: int = 1, backend: str = "auto"
+    ):
         self.width = int(width)
         self.height = int(height)
         self.batch = int(batch)
         self.dims = scale_dims(self.height, self.width, NUM_SCALES)
         self.num_scales = len(self.dims)
         self._fn = jax.jit(
-            functools.partial(ssimulacra2_subscores, num_scales=self.num_scales)
+            functools.partial(
+                ssimulacra2_subscores,
+                num_scales=self.num_scales,
+                backend=backend,
+            )
         )
 
     def subscores_device(self, lin_ref: jax.Array, lin_dis: jax.Array) -> jax.Array:
