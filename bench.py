@@ -48,20 +48,32 @@ def main() -> int:
     from turbo_metrics_tpu.ops import colorspace
     from turbo_metrics_tpu.ops.downscale import scale_dims
 
-    batch = int(os.environ.get("TM_BENCH_BATCH", "8"))
-    iters = int(os.environ.get("TM_BENCH_ITERS", "20"))
+    batch = int(os.environ.get("TM_BENCH_BATCH", "4"))
+    iters = int(os.environ.get("TM_BENCH_ITERS", "48"))
     num_scales = len(scale_dims(H, W))
 
     t0 = time.perf_counter()
     _ = float(jnp.ones((8, 128)).sum())  # absorb the tunnel's first-fetch cost
     log(f"bench: first fetch {time.perf_counter() - t0:.1f}s; devices={jax.devices()}")
 
+    on_tpu = jax.default_backend() == "tpu"
+
+    def convert(y, uv):
+        if on_tpu:
+            from turbo_metrics_tpu.ops.pallas.convert import (
+                yuv420_to_linear_rgb_pallas,
+            )
+
+            return yuv420_to_linear_rgb_pallas(y, uv)
+        return colorspace.yuv420_to_linear_rgb(y, uv)
+
     def step(y_ref, uv_ref, y_dis, uv_dis):
-        lin_ref = colorspace.yuv420_to_linear_rgb(y_ref, uv_ref)
-        lin_dis = colorspace.yuv420_to_linear_rgb(y_dis, uv_dis)
+        lin_ref = convert(y_ref, uv_ref)
+        lin_dis = convert(y_dis, uv_dis)
         return ssimulacra2_subscores(lin_ref, lin_dis, num_scales=num_scales)
 
     fn = jax.jit(step)
+    stack = jax.jit(lambda xs: jnp.stack(xs))
 
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:H, 0:W]
@@ -94,19 +106,36 @@ def main() -> int:
     log(f"bench: compile+first step {time.perf_counter() - t0:.1f}s")
     _ = postprocess_score(np.asarray(out, dtype=np.float64))
 
-    # Steady state, pipelined: enqueue batch i+1 before fetching batch i.
+    # Steady state, pipelined: enqueue continuously; sub-scores of K batches
+    # are stacked DEVICE-SIDE and fetched as one transfer, so the dev
+    # tunnel's ~28 ms fixed per-fetch latency (not present on a production
+    # PCIe host) amortizes over K*batch frames instead of capping the loop.
     # Two repetitions, best taken (tunnel load varies run to run by ~2x).
+    K = 8
     best = 0.0
     for rep in range(2):
         t0 = time.perf_counter()
+        pend: list = []
         prev = None
+        done = 0
         for i in range(iters):
-            out = fn(*sets[i % 2])
-            if prev is not None:
-                _ = postprocess_score(np.asarray(prev, dtype=np.float64))
-            prev = out
-        _ = postprocess_score(np.asarray(prev, dtype=np.float64))
+            pend.append(fn(*sets[i % 2]))
+            if len(pend) == K:
+                packed = stack(pend)
+                pend = []
+                if prev is not None:
+                    vals = np.asarray(prev, dtype=np.float64)
+                    _ = postprocess_score(vals.reshape((-1,) + vals.shape[2:]))
+                    done += vals.shape[0] * vals.shape[1]
+                prev = packed
+        for leftover in ([prev] if prev is not None else []) + (
+            [stack(pend)] if pend else []
+        ):
+            vals = np.asarray(leftover, dtype=np.float64)
+            _ = postprocess_score(vals.reshape((-1,) + vals.shape[2:]))
+            done += vals.shape[0] * vals.shape[1]
         elapsed = time.perf_counter() - t0
+        assert done == batch * iters
         best = max(best, batch * iters / elapsed)
     fps = best
     mpxs = fps * W * H / 1e6

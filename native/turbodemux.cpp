@@ -53,6 +53,12 @@ struct TmInfo {
     int64_t frame_count;      // container estimate, 0 if unknown
     char codec_name[32];
     char container_name[32];
+    // Timing (for chunked/seeking decode): stream time_base and the
+    // average frame rate as rationals; zero denominators if unknown.
+    int32_t time_base_num;
+    int32_t time_base_den;
+    int32_t fps_num;
+    int32_t fps_den;
 };
 
 // Caller-supplied IO callbacks for streaming input (stdin, pipes, Python
@@ -198,6 +204,10 @@ int tm_info(TmHandle* h, TmInfo* out) {
              avcodec_get_name(par->codec_id));
     snprintf(out->container_name, sizeof(out->container_name), "%s",
              h->fmt->iformat ? h->fmt->iformat->name : "?");
+    out->time_base_num = st->time_base.num;
+    out->time_base_den = st->time_base.den;
+    out->fps_num = st->avg_frame_rate.num;
+    out->fps_den = st->avg_frame_rate.den;
     return 0;
 }
 
@@ -213,7 +223,10 @@ static void copy_plane(const uint8_t* src, int src_linesize, uint8_t* dst,
 
 // Returns 1 on frame, 0 on EOF, <0 on error.  Caller buffers must be sized
 // w*h (luma) and cw*ch (each chroma plane) samples of ceil(depth/8) bytes.
-int tm_next_frame(TmHandle* h, uint8_t* y, uint8_t* u, uint8_t* v) {
+// *pts (optional) receives the frame's best-effort timestamp in stream
+// time_base units (AV_NOPTS_VALUE if unknown).
+int tm_next_frame(TmHandle* h, uint8_t* y, uint8_t* u, uint8_t* v,
+                  int64_t* pts) {
     if (!h) return -1;
     if (!h->pending) {
         while (true) {
@@ -252,6 +265,7 @@ int tm_next_frame(TmHandle* h, uint8_t* y, uint8_t* u, uint8_t* v) {
         return -3;
     }
     h->pending = 0;
+    if (pts) *pts = f->best_effort_timestamp;
     const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get((AVPixelFormat)f->format);
     int bytes = desc->comp[0].depth > 8 ? 2 : 1;
     copy_plane(f->data[0], f->linesize[0], y, f->width, f->height, bytes);
@@ -268,6 +282,21 @@ int tm_next_frame(TmHandle* h, uint8_t* y, uint8_t* u, uint8_t* v) {
 void tm_close(TmHandle* h) {
     if (!h) return;
     tm_free(h);
+}
+
+// Seek to the keyframe at or before `ts` (stream time_base units) and flush
+// the decoder.  The role of NVDEC's parser re-feeding for windowed runs:
+// chunked multi-worker decode seeks each worker to its chunk start instead
+// of decode-and-discard.  Returns 0 on success.
+int tm_seek(TmHandle* h, int64_t ts) {
+    if (!h) return -1;
+    int ret = av_seek_frame(h->fmt, h->stream_index, ts, AVSEEK_FLAG_BACKWARD);
+    if (ret < 0) return -2;
+    avcodec_flush_buffers(h->dec);
+    h->eof = 0;
+    h->pending = 0;
+    av_frame_unref(h->frame);
+    return 0;
 }
 
 // Decoder availability probe (e.g. "h264", "av1", "mpeg2video").

@@ -84,3 +84,81 @@ def test_width_sharded_scores_match(rng):
     mesh = make_mesh(4)
     sharded = np.asarray(shard_over_width(fn, mesh, in_ndims=(4, 4))(ref, dis))
     np.testing.assert_allclose(single, sharded, atol=2e-5, rtol=2e-5)
+
+
+def test_chunked_decode_exact_order(tmp_path):
+    """Seek-partitioned chunked decode reproduces sequential frame order
+    exactly (any workers/chunk combination)."""
+    import numpy as np
+    import pytest as _pytest
+
+    cv2 = _pytest.importorskip("cv2")
+    from turbo_metrics_tpu.io.native import NativeVideoSource, native_available
+    from turbo_metrics_tpu.parallel.decode_pool import ChunkedVideoSource
+
+    if not native_available():
+        _pytest.skip("native demuxer not built")
+    path = str(tmp_path / "clip.mkv")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"VP90"), 25, (64, 48))
+    if not vw.isOpened():
+        _pytest.skip("VP9 encoder unavailable")
+    for i in range(23):
+        img = np.zeros((48, 64, 3), np.uint8)
+        img[:, :, 0] = (i * 11) % 256
+        vw.write(img)
+    vw.release()
+
+    seq = []
+    src = NativeVideoSource(path)
+    while (f := src.get_frame()) is not None:
+        seq.append(f.y.copy())
+
+    for workers, chunk in [(2, 5), (3, 8), (2, 64)]:
+        cs = ChunkedVideoSource(path, workers=workers, chunk=chunk)
+        got = []
+        while (f := cs.get_frame()) is not None:
+            got.append(f.y)
+        assert len(got) == len(seq), (workers, chunk)
+        assert all(np.array_equal(a, b) for a, b in zip(got, seq))
+
+    # skip_frames offsets the chunk origin
+    cs = ChunkedVideoSource(path, workers=2, chunk=4)
+    cs.skip_frames(7)
+    got = []
+    while (f := cs.get_frame()) is not None:
+        got.append(f.y)
+    assert len(got) == len(seq) - 7
+    assert np.array_equal(got[0], seq[7])
+
+
+def test_seek_to_frame(tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    cv2 = _pytest.importorskip("cv2")
+    from turbo_metrics_tpu.io.native import NativeVideoSource, native_available
+
+    if not native_available():
+        _pytest.skip("native demuxer not built")
+    path = str(tmp_path / "clip.mkv")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"VP90"), 25, (64, 48))
+    if not vw.isOpened():
+        _pytest.skip("VP9 encoder unavailable")
+    for i in range(17):
+        img = np.zeros((48, 64, 3), np.uint8)
+        img[:, :, 0] = (i * 13) % 256
+        vw.write(img)
+    vw.release()
+
+    seq = []
+    src = NativeVideoSource(path)
+    while (f := src.get_frame()) is not None:
+        seq.append(f.y.copy())
+
+    src2 = NativeVideoSource(path)
+    assert src2.can_seek()
+    for target in (11, 3, 16, 0):
+        assert src2.seek_to_frame(target)
+        f = src2.get_frame()
+        assert np.array_equal(f.y, seq[target]), target
+    assert not src2.seek_to_frame(100)  # beyond EOF

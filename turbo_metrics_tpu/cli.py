@@ -65,6 +65,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="Override the signal range.",
     )
     p.add_argument(
+        "--decode-workers",
+        type=int,
+        default=1,
+        metavar="N",
+        help=(
+            "Parallel seek-partitioned decoders per input (seekable CFR "
+            "files only; constant format). Lifts the single-stream CPU "
+            "decode ceiling when the TPU outruns one decoder."
+        ),
+    )
+    p.add_argument(
         "--vmaf-model",
         metavar="FILE",
         help=(
@@ -135,6 +146,24 @@ def main(argv: list[str] | None = None) -> int:
     except Exception as e:
         log.error("Could not read distorted : %s", e)
         return 1
+
+    if args.decode_workers > 1:
+        from turbo_metrics_tpu.io.native import NativeVideoSource
+        from turbo_metrics_tpu.parallel.decode_pool import ChunkedVideoSource
+
+        def chunked(src, path):
+            if isinstance(src, NativeVideoSource) and src.can_seek():
+                src.close()
+                return ChunkedVideoSource(path, workers=args.decode_workers)
+            log.warning(
+                "%s: not seekable-CFR; --decode-workers ignored for it", path
+            )
+            return src
+
+        if args.reference != "-":
+            source_ref = chunked(source_ref, args.reference)
+        if args.distorted != "-":
+            source_dis = chunked(source_dis, args.distorted)
 
     if args.color_matrix or args.color_transfer or args.color_range:
         from turbo_metrics_tpu.io.frame_source import ColorOverrideSource

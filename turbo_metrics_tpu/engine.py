@@ -195,9 +195,26 @@ class ConvertSpec:
 
 
 def _convert_to_linear(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.Array:
-    """Dispatch on static spec (turbo-metrics/src/color.rs:96-116)."""
+    """Dispatch on static spec (turbo-metrics/src/color.rs:96-116).
+
+    On TPU the YUV 4:2:0 path uses the fused Pallas conversion kernel
+    (one HBM pass; the jnp chain costs ~6x more in HBM round trips);
+    elsewhere the jnp path keeps tests fast and exact."""
     if spec.kind == "yuv420":
         y, uv = arrays
+        if jax.default_backend() == "tpu":
+            from turbo_metrics_tpu.ops.pallas.convert import (
+                yuv420_to_linear_rgb_pallas,
+            )
+
+            return yuv420_to_linear_rgb_pallas(
+                y,
+                uv,
+                depth=spec.depth,
+                matrix=spec.matrix,
+                transfer=spec.transfer,
+                full_range=spec.full_range,
+            )
         return colorspace.yuv420_to_linear_rgb(
             y,
             uv,

@@ -45,6 +45,10 @@ class _TmInfo(ctypes.Structure):
         ("frame_count", ctypes.c_int64),
         ("codec_name", ctypes.c_char * 32),
         ("container_name", ctypes.c_char * 32),
+        ("time_base_num", ctypes.c_int32),
+        ("time_base_den", ctypes.c_int32),
+        ("fps_num", ctypes.c_int32),
+        ("fps_den", ctypes.c_int32),
     ]
 
 
@@ -96,7 +100,11 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.tm_info.restype = ctypes.c_int
     lib.tm_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(_TmInfo)]
     lib.tm_next_frame.restype = ctypes.c_int
-    lib.tm_next_frame.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+    lib.tm_next_frame.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3 + [
+        ctypes.POINTER(ctypes.c_int64)
+    ]
+    lib.tm_seek.restype = ctypes.c_int
+    lib.tm_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.tm_close.argtypes = [ctypes.c_void_p]
     lib.tm_has_decoder.restype = ctypes.c_int
     lib.tm_has_decoder.argtypes = [ctypes.c_char_p]
@@ -247,12 +255,15 @@ class NativeVideoSource(FrameSource):
         return n
 
     def next_frame(self) -> Optional[RawFrame]:
+        pts = ctypes.c_int64(-(2**63))
         ret = self._lib.tm_next_frame(
             self._h,
             self._ybuf.ctypes.data_as(ctypes.c_void_p),
             self._ubuf.ctypes.data_as(ctypes.c_void_p),
             self._vbuf.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(pts),
         )
+        self.last_pts = int(pts.value)
         if ret == 0:
             return None
         if ret == -3:
@@ -287,6 +298,56 @@ class NativeVideoSource(FrameSource):
             depth=self._depth,
             full_range=self.info.full_range == 1,
         )
+
+    # -- seeking (chunked decode) ------------------------------------------
+
+    AV_NOPTS = -(2**63)
+
+    def can_seek(self) -> bool:
+        """Seekable file with known CFR timing and real timestamps."""
+        i = self.info
+        return (
+            not self._cbs  # path-backed, not a callback stream
+            and i.fps_num > 0
+            and i.fps_den > 0
+            and i.time_base_num > 0
+            and i.time_base_den > 0
+        )
+
+    def _pts_for_frame(self, n: int) -> int:
+        i = self.info
+        num = int(i.fps_den) * int(i.time_base_den)
+        den = int(i.fps_num) * int(i.time_base_num)
+        return (n * num + den // 2) // den
+
+    def frame_index(self, pts: int) -> int:
+        """Map a stream timestamp back to a CFR frame index."""
+        i = self.info
+        num = int(i.fps_num) * int(i.time_base_num)
+        den = int(i.fps_den) * int(i.time_base_den)
+        return (pts * num + den // 2) // den
+
+    def seek_to_frame(self, n: int) -> bool:
+        """Position the stream so the next get_frame() returns frame ``n``.
+
+        Seeks to the keyframe at or before n (tm_seek / av_seek_frame) and
+        decodes forward, discarding frames before n.  Returns False if the
+        source cannot seek (stream input, unknown timing, no timestamps) —
+        callers fall back to sequential decode."""
+        if not self.can_seek():
+            return False
+        if self._lib.tm_seek(self._h, self._pts_for_frame(n)) != 0:
+            return False
+        self._pushed_back = []
+        while True:
+            f = self.next_frame()
+            if f is None:
+                return False  # seek target beyond EOF
+            if self.last_pts == self.AV_NOPTS:
+                return False  # no timestamps: index unknowable after a seek
+            if self.frame_index(self.last_pts) >= n:
+                self.push_back(f)
+                return True
 
     def close(self) -> None:
         if self._h:
