@@ -58,18 +58,25 @@ def main() -> int:
 
     on_tpu = jax.default_backend() == "tpu"
 
-    def convert(y, uv):
+    def step(y_ref, uv_ref, y_dis, uv_dis):
         if on_tpu:
+            # Zero-copy padded chain: conversion writes the megakernel's
+            # padded layout directly; each level emits the next level's
+            # input in-kernel.
+            from turbo_metrics_tpu.models.ssimulacra2 import (
+                ssimulacra2_subscores_from_padded,
+            )
             from turbo_metrics_tpu.ops.pallas.convert import (
-                yuv420_to_linear_rgb_pallas,
+                yuv420_to_linear_rgb_padded,
             )
 
-            return yuv420_to_linear_rgb_pallas(y, uv)
-        return colorspace.yuv420_to_linear_rgb(y, uv)
-
-    def step(y_ref, uv_ref, y_dis, uv_dis):
-        lin_ref = convert(y_ref, uv_ref)
-        lin_dis = convert(y_dis, uv_dis)
+            p12 = yuv420_to_linear_rgb_padded(y_ref, uv_ref, None, 0)
+            p12 = yuv420_to_linear_rgb_padded(y_dis, uv_dis, p12, 1)
+            return ssimulacra2_subscores_from_padded(
+                p12, H, W, num_scales=num_scales
+            )
+        lin_ref = colorspace.yuv420_to_linear_rgb(y_ref, uv_ref)
+        lin_dis = colorspace.yuv420_to_linear_rgb(y_dis, uv_dis)
         return ssimulacra2_subscores(lin_ref, lin_dis, num_scales=num_scales)
 
     fn = jax.jit(step)

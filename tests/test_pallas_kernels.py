@@ -117,3 +117,49 @@ def test_pallas_downscale_matches_jnp(rng, hw):
     want = np.asarray(downscale_by_2(jnp.asarray(x)))
     got = np.asarray(downscale_by_2_pallas(jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(got, want, atol=3e-7)
+
+
+@pytest.mark.parametrize("hw", [(48, 64), (35, 61), (96, 129)])
+def test_fused_v4_chain_matches_jnp(rng, hw):
+    """v4 padded-chain (in-kernel downscale into the next level's padded
+    layout, zero-aliased buffers) vs the jnp path, odd dims included."""
+    h, w = hw
+    lin1 = rng.random((2, 3, h, w), dtype=np.float64).astype(np.float32)
+    lin2 = np.clip(lin1 + rng.normal(0, 0.03, lin1.shape).astype(np.float32), 0, 1)
+    jnp_out = np.asarray(
+        ssimulacra2_subscores(lin1, lin2, num_scales=3, backend="jnp")
+    )
+    v4_out = np.asarray(
+        ssimulacra2_subscores(lin1, lin2, num_scales=3, backend="interpret3")
+    )
+    np.testing.assert_allclose(v4_out, jnp_out, rtol=3e-5, atol=5e-5)
+
+
+def test_v4_downscale_chain_exact(rng):
+    """The in-kernel MXU downscale equals the reference 2x2 edge-replicated
+    mean, including odd dimensions and halo zeros."""
+    from turbo_metrics_tpu.ops.downscale import downscale_by_2
+    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+        ROW_HALO4,
+        COL_HALO4,
+        fused_scale_pallas_v4,
+        pad_to_layout4,
+    )
+
+    for (h, w) in [(96, 128), (67, 83), (33, 129)]:
+        lin1 = rng.random((1, 3, h, w), dtype=np.float64).astype(np.float32)
+        lin2 = np.clip(lin1 * 0.5 + 0.1, 0, 1)
+        p12 = pad_to_layout4(
+            jnp.stack([jnp.asarray(lin1), jnp.asarray(lin2)]), h, w
+        )
+        _, ds12 = fused_scale_pallas_v4(p12, h, w, emit_ds=True, interpret=True)
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        full = np.asarray(ds12)
+        got = full[:, :, :, ROW_HALO4:ROW_HALO4 + h2, COL_HALO4:COL_HALO4 + w2]
+        for i, lin in enumerate((lin1, lin2)):
+            want = np.asarray(downscale_by_2(jnp.asarray(lin)))
+            np.testing.assert_allclose(got[i], want, rtol=0, atol=1e-6, err_msg=f"{h}x{w} img{i}")
+        # everything outside the valid region must be exactly zero
+        inner = np.zeros_like(full)
+        inner[:, :, :, ROW_HALO4:ROW_HALO4 + h2, COL_HALO4:COL_HALO4 + w2] = got
+        assert np.array_equal(full, inner), f"nonzero slack at {h}x{w}"

@@ -346,6 +346,61 @@ class TurboMetrics:
             metrics = self.metrics
             num_scales = self.num_scales
 
+            only_s2 = metrics.ssimulacra2 and not (
+                metrics.psnr
+                or metrics.ssim
+                or metrics.msssim
+                or metrics.xpsnr
+                or metrics.vmaf
+            )
+            if (
+                only_s2
+                and spec_ref.kind == "yuv420"
+                and spec_dis.kind == "yuv420"
+                and jax.default_backend() == "tpu"
+                and self.height > 56
+                and self.width > 896
+            ):
+                # Zero-copy fast path: conversion writes the padded-chain
+                # layout directly, each pyramid level emits the next level's
+                # input in-kernel — no pad/slice copies, no separate
+                # downscale kernels (docs/PERFORMANCE.md round 2).
+                from turbo_metrics_tpu.models.ssimulacra2 import (
+                    ssimulacra2_subscores_from_padded,
+                )
+                from turbo_metrics_tpu.ops.pallas.convert import (
+                    yuv420_to_linear_rgb_padded,
+                )
+
+                height, width = self.height, self.width
+
+                def fast_step(ref_arrays, dis_arrays, aux):
+                    y_r, uv_r = ref_arrays
+                    y_d, uv_d = dis_arrays
+                    p12 = yuv420_to_linear_rgb_padded(
+                        y_r, uv_r, None, 0,
+                        depth=spec_ref.depth,
+                        matrix=spec_ref.matrix,
+                        transfer=spec_ref.transfer,
+                        full_range=spec_ref.full_range,
+                    )
+                    p12 = yuv420_to_linear_rgb_padded(
+                        y_d, uv_d, p12, 1,
+                        depth=spec_dis.depth,
+                        matrix=spec_dis.matrix,
+                        transfer=spec_dis.transfer,
+                        full_range=spec_dis.full_range,
+                    )
+                    return {
+                        "ssimulacra2_subscores": ssimulacra2_subscores_from_padded(
+                            p12, height, width, num_scales=num_scales
+                        )
+                    }
+
+                fn = jax.jit(fast_step)
+                self._step_cache[key] = fn
+                return fn
+
             def step(ref_arrays, dis_arrays, aux):
                 lin_ref = _convert_to_linear(spec_ref, ref_arrays)
                 lin_dis = _convert_to_linear(spec_dis, dis_arrays)

@@ -33,9 +33,9 @@ NUM_SCALES = 6
 
 
 def default_backend() -> str:
-    """Fused Pallas path on TPU, plain jnp elsewhere (CPU tests)."""
+    """Fused Pallas padded-chain on TPU, plain jnp elsewhere (CPU tests)."""
     try:
-        return "pallas2" if jax.devices()[0].platform == "tpu" else "jnp"
+        return "pallas3" if jax.devices()[0].platform == "tpu" else "jnp"
     except Exception:  # pragma: no cover
         return "jnp"
 
@@ -62,6 +62,31 @@ def ssimulacra2_subscores(
     """
     if backend == "auto":
         backend = default_backend()
+
+    if backend in ("pallas3", "interpret3"):
+        # Padded-chain pipeline (ops/pallas/scale_stats.py v4): one kernel
+        # per level that also writes the next level's padded input (exact
+        # in-kernel MXU downscale) — no jnp.pad / slice copies and no
+        # separate downscale kernels anywhere in the scale loop.
+        from turbo_metrics_tpu.ops.pallas.scale_stats import (
+            fused_scale_pallas_v4,
+            norms_from_sums,
+            pad_to_layout4,
+        )
+
+        interp = backend == "interpret3"
+        h, w = lin_ref.shape[-2], lin_ref.shape[-1]
+        p12 = pad_to_layout4(jnp.stack([lin_ref, lin_dis]), h, w)
+        per_scale = []
+        for s in range(num_scales):
+            sums, ds12 = fused_scale_pallas_v4(
+                p12, h, w, emit_ds=s < num_scales - 1, interpret=interp
+            )
+            per_scale.append(norms_from_sums(sums, h * w))
+            if s < num_scales - 1:
+                p12 = ds12
+                h, w = (h + 1) // 2, (w + 1) // 2
+        return jnp.stack(per_scale, axis=2)
 
     if backend in ("pallas2", "interpret2"):
         # Fully fused path, one kernel per scale (ops/pallas/scale_stats.py
@@ -135,6 +160,35 @@ def ssimulacra2_subscores(
             )
             mu1, mu2, s11, s22, s12 = jnp.split(blur_fn(stacked), 5, axis=1)
             per_scale.append(scale_norms(xyb1, xyb2, mu1, mu2, s11, s22, s12))
+    return jnp.stack(per_scale, axis=2)
+
+
+def ssimulacra2_subscores_from_padded(
+    p12: jax.Array,
+    h: int,
+    w: int,
+    *,
+    num_scales: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """v4 padded-chain sub-scores from a producer-written (2, B, 3, hp, wp)
+    buffer (ops/pallas/convert.yuv420_to_linear_rgb_padded) — the zero-copy
+    fast path: no pad or slice materialisation anywhere between the decoded
+    YUV planes and the final sums."""
+    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+        fused_scale_pallas_v4,
+        norms_from_sums,
+    )
+
+    per_scale = []
+    for s in range(num_scales):
+        sums, ds12 = fused_scale_pallas_v4(
+            p12, h, w, emit_ds=s < num_scales - 1, interpret=interpret
+        )
+        per_scale.append(norms_from_sums(sums, h * w))
+        if s < num_scales - 1:
+            p12 = ds12
+            h, w = (h + 1) // 2, (w + 1) // 2
     return jnp.stack(per_scale, axis=2)
 
 

@@ -158,6 +158,180 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Conversion straight into the v4 padded-chain layout (no pad/slice copies)
+# ---------------------------------------------------------------------------
+
+PAD_TILE_H = 64  # matches the megakernel's row tiling exactly
+PAD_TILE_W = 512  # divides the megakernel's column tiling
+
+
+def _convert_padded_kernel(
+    y_ref,
+    u_ref,
+    v_ref,
+    _zeros,
+    out_ref,
+    rgb_scratch,
+    sem,
+    *,
+    coeffs: tuple,
+    minimum: float,
+    neutral: float,
+    transfer: str,
+    h: int,
+    w: int,
+    img_idx: int,
+):
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    tile_h, tile_w = PAD_TILE_H, PAD_TILE_W
+
+    y_coeff, r_coeff, b_coeff, g_coeff1, g_coeff2 = (jnp.float32(c) for c in coeffs)
+    luma = (
+        jnp.maximum(y_ref[0].astype(jnp.int32).astype(jnp.float32), jnp.float32(minimum))
+        - jnp.float32(minimum)
+    ) * y_coeff
+    cb = u_ref[0].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
+    cr = v_ref[0].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
+
+    dh, dw = tile_h // 2, tile_w // 2
+    up_rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, dh), dimension=0) // 2
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, dh), dimension=1)
+    ).astype(jnp.float32)
+    up_cols = (
+        jax.lax.broadcasted_iota(jnp.int32, (dw, tile_w), dimension=0)
+        == jax.lax.broadcasted_iota(jnp.int32, (dw, tile_w), dimension=1) // 2
+    ).astype(jnp.float32)
+
+    def up(c):
+        c = jnp.dot(
+            up_rows, c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.dot(
+            c, up_cols,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    r_ = up(r_coeff * cr)
+    g_ = up(g_coeff1 * cb + g_coeff2 * cr)
+    b_ = up(b_coeff * cb)
+
+    # Zero beyond the image so the consumer's halo reads stay exact.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    mask = (
+        (row_ids + ti * tile_h < h) & (col_ids + tj * tile_w < w)
+    ).astype(jnp.float32)
+
+    eotf = _EOTFS[transfer]
+    rgb_scratch[0] = jnp.clip(eotf(luma + r_), 0.0, 1.0) * mask
+    rgb_scratch[1] = jnp.clip(eotf(luma + g_), 0.0, 1.0) * mask
+    rgb_scratch[2] = jnp.clip(eotf(luma + b_), 0.0, 1.0) * mask
+
+    dst_r = pl.multiple_of(8 + ti * tile_h, 8)
+    dst_c = pl.multiple_of(128 + tj * tile_w, 128)
+    cp = pltpu.make_async_copy(
+        rgb_scratch,
+        out_ref.at[img_idx, b, :, pl.ds(dst_r, tile_h), pl.ds(dst_c, tile_w)],
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+
+def yuv420_to_linear_rgb_padded(
+    y: jax.Array,
+    uv: jax.Array,
+    out_or_none,
+    img_idx: int,
+    *,
+    depth: int = 8,
+    matrix: str = "bt709",
+    transfer: str = "bt709",
+    full_range: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Convert into slot ``img_idx`` of a (2, B, 3, hp, wp) padded-chain
+    buffer (ops/pallas/scale_stats.pad_geom4 layout; halos stay zero via a
+    zero-aliased buffer).  Pass ``out_or_none=None`` on the first image; pass
+    the returned buffer for the second.  This is the producer side of the v4
+    pipeline — one fused pass, no pad or slice copies."""
+    from turbo_metrics_tpu.ops.pallas.scale_stats import pad_geom4
+
+    bsz, h, w = y.shape
+    kr, kb = colorspace.MATRIX_KR_KB[matrix]
+    rng = colorspace.sample_range(depth, full_range)
+    kg = 1.0 - kr - kb
+    coeffs = (
+        1.0 / rng.luma_range,
+        2.0 * (1.0 - kr) / rng.chroma_range,
+        2.0 * (1.0 - kb) / rng.chroma_range,
+        -2.0 * (1.0 - kb) * kb / kg / rng.chroma_range,
+        -2.0 * (1.0 - kr) * kr / kg / rng.chroma_range,
+    )
+
+    tile_h, tile_w = PAD_TILE_H, PAD_TILE_W
+    nth = -(-h // tile_h)
+    ntw = -(-w // tile_w)
+    # Coverage constraint: this kernel's (64, 512) grid must not write past
+    # the megakernel's interior.  That holds exactly when the megakernel is
+    # at its full tile sizes (row tiling 64, column tiling 1024, of which
+    # 512 is a divisor) — i.e. for images larger than (56, 896).  Smaller
+    # inputs use the general conversion + pad_to_layout4 fallback.
+    mt_h, mt_w, mnth, mntw, hp, wp = pad_geom4(h, w)
+    if mt_h != PAD_TILE_H or mt_w % PAD_TILE_W != 0:
+        raise ValueError(
+            f"padded conversion needs full megakernel tiles (image {h}x{w} "
+            f"tiles as {mt_h}x{mt_w}); use the general path"
+        )
+    assert 8 + nth * tile_h <= hp - 8 and 128 + ntw * tile_w <= wp - 128
+
+    ht, wt = nth * tile_h, ntw * tile_w
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    yp = jnp.pad(y, ((0, 0), (0, ht - h), (0, wt - w)))
+    u = jnp.pad(uv[..., 0], ((0, 0), (0, ht // 2 - ch), (0, wt // 2 - cw)))
+    v = jnp.pad(uv[..., 1], ((0, 0), (0, ht // 2 - ch), (0, wt // 2 - cw)))
+
+    if out_or_none is None:
+        out_or_none = jnp.zeros((2, bsz, 3, hp, wp), jnp.float32)
+
+    kernel = functools.partial(
+        _convert_padded_kernel,
+        coeffs=coeffs,
+        minimum=float(rng.minimum),
+        neutral=float(rng.neutral),
+        transfer=transfer,
+        h=h,
+        w=w,
+        img_idx=img_idx,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nth, ntw),
+        in_specs=[
+            pl.BlockSpec((1, tile_h, tile_w), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, tile_h // 2, tile_w // 2), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, tile_h // 2, tile_w // 2), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(out_or_none.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, tile_h, tile_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(yp, u, v, out_or_none)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # 2x downscale kernel (pyramid step)
 # ---------------------------------------------------------------------------
 

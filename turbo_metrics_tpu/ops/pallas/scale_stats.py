@@ -810,3 +810,400 @@ def fused_scale_pallas_v3(
         interpret=interpret,
     )(*inputs)
     return out[:, :, :, :3, :6].sum(axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# v4: padded-chain pipeline — producers write the megakernel's padded layout
+# directly, and the megakernel emits the NEXT pyramid level's padded input
+# itself (in-kernel exact MXU downscale).  No jnp.pad / slice copies and no
+# separate downscale kernels anywhere in the scale loop.
+# ---------------------------------------------------------------------------
+
+# Shared padded-layout geometry.  The column halo is 128 so every producer's
+# destination DMA (image origin at (ROW_HALO4, COL_HALO4)) lands on Mosaic's
+# (8, 128)-aligned boundaries.
+ROW_HALO4 = 8
+COL_HALO4 = 128
+TILE_H4 = 64
+TILE_W4 = 1024
+
+
+def pad_geom4(h: int, w: int) -> tuple[int, int, int, int, int, int]:
+    """(tile_h, tile_w, nth, ntw, hp, wp) of a level's padded layout."""
+    tile_h = min(TILE_H4, _round_up(h, 8))
+    tile_w = min(TILE_W4, _round_up(w, 128))
+    nth = -(-h // tile_h)
+    ntw = -(-w // tile_w)
+    hp = ROW_HALO4 + nth * tile_h + ROW_HALO4
+    wp = COL_HALO4 + ntw * tile_w + COL_HALO4
+    return tile_h, tile_w, nth, ntw, hp, wp
+
+
+def pad_to_layout4(lin: jax.Array, h: int, w: int) -> jax.Array:
+    """Host-side fallback producer: zero-pad (..., h, w) into the layout."""
+    _, _, _, _, hp, wp = pad_geom4(h, w)
+    return jnp.pad(
+        lin,
+        [(0, 0)] * (lin.ndim - 2)
+        + [
+            (ROW_HALO4, hp - h - ROW_HALO4),
+            (COL_HALO4, wp - w - COL_HALO4),
+        ],
+    )
+
+
+def _fused_scale_kernel_v4(
+    *refs,
+    h: int,
+    w: int,
+    tile_h: int,
+    tile_w: int,
+    nth: int,
+    ntw: int,
+    bsz: int,
+    taps: tuple[float, ...],
+    precision: str,
+    emit_ds: bool,
+    h_odd: bool,
+    w_odd: bool,
+):
+    """One pyramid level: XYB + 4-blur (W on VPU, H on MXU) + maps + sums,
+    plus (emit_ds) the exact 2x2-mean downscale of the linear tile written
+    straight into the next level's padded buffer."""
+    it = iter(refs)
+    lin12_hbm = next(it)  # (2, B, 3, hp, wp): ref and dis stacked
+    hmat = next(it)
+    if emit_ds:
+        _z = next(it)  # zeros-aliased ds buffer (consumed via the output)
+    out_ref = next(it)
+    ds_ref = next(it) if emit_ds else None  # (2, B, 3, hp2, wp2)
+    t1 = next(it)
+    t2 = next(it)
+    sems = next(it)
+    ds_store = next(it) if emit_ds else None  # (6, dh, dw) staging for ds DMA
+    ds_sems = next(it) if emit_ds else None
+
+    p = pl.program_id(0)
+    th = pl.program_id(1)
+    tw = pl.program_id(2)
+    r = RADIUS
+    rows = tile_h + 2 * ROW_HALO4
+    cols = tile_w + 2 * COL_HALO4
+    prec = _PRECISIONS[precision]
+
+    # Double-buffered input DMA across grid steps.
+    nsteps = bsz * nth * ntw
+    step = (p * nth + th) * ntw + tw
+
+    def dma_pair(idx, slot):
+        p_ = idx // (nth * ntw)
+        rem = idx % (nth * ntw)
+        row0_ = pl.multiple_of((rem // ntw) * tile_h, 8)
+        col0_ = pl.multiple_of((rem % ntw) * tile_w, 128)
+        d1 = pltpu.make_async_copy(
+            lin12_hbm.at[0, p_, :, pl.ds(row0_, rows), pl.ds(col0_, cols)],
+            t1.at[slot],
+            sems.at[slot, 0],
+        )
+        d2 = pltpu.make_async_copy(
+            lin12_hbm.at[1, p_, :, pl.ds(row0_, rows), pl.ds(col0_, cols)],
+            t2.at[slot],
+            sems.at[slot, 1],
+        )
+        return d1, d2
+
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        d1, d2 = dma_pair(step, slot)
+        d1.start()
+        d2.start()
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        d1, d2 = dma_pair(step + 1, jax.lax.rem(step + 1, 2))
+        d1.start()
+        d2.start()
+
+    d1, d2 = dma_pair(step, slot)
+    d1.wait()
+    d2.wait()
+    a3 = t1[slot]
+    b3 = t2[slot]
+
+    row0 = pl.multiple_of(th * tile_h, 8)
+    col0 = pl.multiple_of(tw * tile_w, 128)
+
+    # ---- exact downscale of the valid tile region into the next level ----
+    ds_copies = []
+    if emit_ds:
+        dh, dw = tile_h // 2, tile_w // 2
+        # DMA-aligned staging tile: round up to (8, 128); the padding columns
+        # multiply all-zero s_cols rows (and padded rows are zero-filled), so
+        # the extra area writes zeros into the destination's zero slack.
+        dh_p = _round_up(dh, 8)
+        dw_p = _round_up(dw, 128)
+        s_cols = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=0) // 2
+            == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=1)
+        ).astype(jnp.float32)
+        # Odd-dimension correction: with zero padding, the last valid output
+        # row/col of an odd input dimension sums one real sample instead of
+        # a replicated pair — scale it by 2 (2x2-mean edge replication).
+        rfac = jnp.float32(1.0)
+        cfac = jnp.float32(1.0)
+        h2 = (h + 1) // 2
+        w2 = (w + 1) // 2
+        if h_odd:
+            rid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 0) + row0 // 2
+            rfac = jnp.where(rid == h2 - 1, jnp.float32(2.0), jnp.float32(1.0))
+        if w_odd:
+            cid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 1) + col0 // 2
+            cfac = jnp.where(cid == w2 - 1, jnp.float32(2.0), jnp.float32(1.0))
+
+        for img_idx, src in enumerate((a3, b3)):
+            for c in range(3):
+                q = jax.lax.slice(
+                    src,
+                    (c, ROW_HALO4, COL_HALO4),
+                    (c + 1, ROW_HALO4 + tile_h, COL_HALO4 + tile_w),
+                )[0]
+                rsum = q.reshape(dh, 2, tile_w).sum(axis=1)
+                if dh_p != dh:
+                    rsum = jnp.pad(rsum, ((0, dh_p - dh), (0, 0)))
+                quad = jax.lax.dot_general(
+                    rsum, s_cols,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                ds_tile = quad * np.float32(0.25)
+                if h_odd or w_odd:
+                    ds_tile = ds_tile * rfac * cfac
+                slot_ = img_idx * 3 + c
+                ds_store[slot_] = ds_tile
+                dst_r = pl.multiple_of(ROW_HALO4 + row0 // 2, 8)
+                dst_c = pl.multiple_of(COL_HALO4 + col0 // 2, 128)
+                cp = pltpu.make_async_copy(
+                    ds_store.at[slot_],
+                    ds_ref.at[
+                        img_idx,
+                        p,
+                        c,
+                        pl.ds(dst_r, dh_p),
+                        pl.ds(dst_c, dw_p),
+                    ],
+                    ds_sems.at[img_idx, c],
+                )
+                cp.start()
+                ds_copies.append(cp)
+
+    # ---- XYB + blur + maps + sums (as v3) ----
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=1)
+    gr_ids = row_ids + row0 - ROW_HALO4
+    gc_ids = col_ids + col0 - COL_HALO4
+    valid = (
+        (gr_ids >= 0) & (gr_ids < h) & (gc_ids >= 0) & (gc_ids < w)
+    ).astype(jnp.float32)
+
+    def opsin_mix(t, row):
+        m = OPSIN_ABSORBANCE_MATRIX
+        bias = OPSIN_ABSORBANCE_BIAS
+        root = OPSIN_ABSORBANCE_BIAS_ROOT
+        third = np.float32(1.0 / 3.0)
+        v = m[row, 0] * t[0] + m[row, 1] * t[1] + m[row, 2] * t[2] + bias
+        v = jnp.maximum(v, 0.0)
+        y0 = jnp.power(v, third)
+        y1 = (np.float32(2.0) * y0 + v / (y0 * y0)) * third
+        return y1 - root
+
+    mixes = [(opsin_mix(t, 0), opsin_mix(t, 1)) for t in (a3, b3)]
+
+    def xyb_channel(idx, c):
+        rg, gr = mixes[idx]
+        if c == 0:
+            val = (rg - gr) * np.float32(0.5) * np.float32(14.0) + np.float32(0.42)
+        elif c == 1:
+            val = (rg + gr) * np.float32(0.5) + np.float32(0.01)
+        else:
+            y = (rg + gr) * np.float32(0.5)
+            val = opsin_mix((a3, b3)[idx], 2) - y + np.float32(0.55)
+        return val * valid
+
+    tp = [jnp.float32(v) for v in taps]
+
+    def blur(q):
+        qw = _blur_w(q, tp, COL_HALO4 - r, tile_w)
+        return jax.lax.dot_general(
+            hmat[...], qw,
+            (((1,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    one = jnp.float32(1.0)
+    for c in range(3):
+        a = xyb_channel(0, c)
+        b = xyb_channel(1, c)
+        mu1, mu2, s_sum, s12 = (blur(q) for q in (a, b, a * a + b * b, a * b))
+
+        i1 = jax.lax.slice(
+            a, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+        )
+        i2 = jax.lax.slice(
+            b, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+        )
+
+        mu12 = mu1 * mu2
+        mu_diff = mu1 - mu2
+        num_m = one - mu_diff * mu_diff
+        num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+        denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+
+        aa = jnp.abs(i2 - mu2)
+        bb2 = jnp.abs(i1 - mu1)
+        d1m = (aa - bb2) / (one + bb2)
+        art = jnp.maximum(d1m, 0.0)
+        det = jnp.maximum(-d1m, 0.0)
+
+        mask = jax.lax.slice(
+            valid, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+        )
+        d = d * mask
+        art = art * mask
+        det = det * mask
+        d2 = d * d
+        art2 = art * art
+        det2 = det * det
+        partial = jnp.stack(
+            [
+                jnp.sum(d),
+                jnp.sum(d2 * d2),
+                jnp.sum(art),
+                jnp.sum(art2 * art2),
+                jnp.sum(det),
+                jnp.sum(det2 * det2),
+                jnp.float32(0.0),
+                jnp.float32(0.0),
+            ]
+        )
+        out_ref[0, 0, 0, c, :] = partial
+
+    for cp in ds_copies:
+        cp.wait()
+
+
+def fused_scale_pallas_v4(
+    lin12_padded: jax.Array,
+    h: int,
+    w: int,
+    *,
+    emit_ds: bool,
+    precision: str = "highest",
+    interpret: bool = False,
+):
+    """One padded-chain pyramid level.
+
+    ``lin12_padded``: (2, B, 3, hp, wp) — ref and dis stacked, in the
+    level's padded layout (pad_geom4).  Returns (sums (B, 3, 6), ds12)
+    where ds12 is the NEXT level's stacked padded input (None when
+    ``emit_ds`` is False).
+    """
+    two, bsz = lin12_padded.shape[0], lin12_padded.shape[1]
+    assert two == 2
+    tile_h, tile_w, nth, ntw, hp, wp = pad_geom4(h, w)
+    # Producers may allocate larger than this level's own geometry (their
+    # tile grid can write past our interior; the slack is zero + masked).
+    assert (
+        lin12_padded.shape[2] == 3
+        and lin12_padded.shape[3] >= hp
+        and lin12_padded.shape[4] >= wp
+    ), (lin12_padded.shape, (hp, wp))
+    rows = tile_h + 2 * ROW_HALO4
+    cols = tile_w + 2 * COL_HALO4
+    taps = tuple(float(v) for v in gaussian_taps())
+
+    inputs = [
+        lin12_padded,
+        jnp.asarray(_band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)),
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, 1, 8, 8),
+            lambda p, th, tw: (p, th, tw, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    scratch = [
+        pltpu.VMEM((2, 3, rows, cols), jnp.float32),
+        pltpu.VMEM((2, 3, rows, cols), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    aliases = {}
+    if emit_ds:
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        t2h, t2w, n2h, n2w, _, _ = pad_geom4(h2, w2)
+        # Allocation covers BOTH this level's ds-write extent (our tile grid
+        # halved) and the next level's own tile grid — whichever is larger;
+        # slack stays zero via the aliased zero buffer and is masked anyway.
+        dh, dw = tile_h // 2, tile_w // 2
+        dh_p, dw_p = _round_up(dh, 8), _round_up(dw, 128)
+        hp2 = ROW_HALO4 + max(n2h * t2h, (nth - 1) * dh + dh_p) + ROW_HALO4
+        wp2 = COL_HALO4 + max(n2w * t2w, (ntw - 1) * dw + dw_p) + COL_HALO4
+        # Zero buffer donated to the ds output: tiles write the interior,
+        # the aliasing keeps halos and uncovered slack exactly zero.
+        inputs.append(jnp.zeros((2, bsz, 3, hp2, wp2), jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((2, bsz, 3, hp2, wp2), jnp.float32)
+        )
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        aliases = {2: 1}
+        scratch += [
+            pltpu.VMEM((6, dh_p, dw_p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ]
+
+    kernel = functools.partial(
+        _fused_scale_kernel_v4,
+        h=h,
+        w=w,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        nth=nth,
+        ntw=ntw,
+        bsz=bsz,
+        taps=taps,
+        precision=precision,
+        emit_ds=emit_ds,
+        h_odd=bool(h % 2) if emit_ds else False,
+        w_odd=bool(w % 2) if emit_ds else False,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nth, ntw),
+        in_specs=in_specs,
+        out_specs=out_specs if emit_ds else out_specs[0],
+        out_shape=out_shapes if emit_ds else out_shapes[0],
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if emit_ds:
+        sums_raw, ds12 = outs
+    else:
+        sums_raw, ds12 = outs, None
+    sums = sums_raw[:, :, :, :3, :6].sum(axis=(1, 2))
+    return sums, ds12
