@@ -866,6 +866,7 @@ def _fused_scale_kernel_v4(
     emit_ds: bool,
     h_odd: bool,
     w_odd: bool,
+    newton: bool,
 ):
     """One pyramid level: XYB + 4-blur (W on VPU, H on MXU) + maps + sums,
     plus (emit_ds) the exact 2x2-mean downscale of the linear tile written
@@ -1016,8 +1017,9 @@ def _fused_scale_kernel_v4(
         v = m[row, 0] * t[0] + m[row, 1] * t[1] + m[row, 2] * t[2] + bias
         v = jnp.maximum(v, 0.0)
         y0 = jnp.power(v, third)
-        y1 = (np.float32(2.0) * y0 + v / (y0 * y0)) * third
-        return y1 - root
+        if newton:
+            y0 = (np.float32(2.0) * y0 + v / (y0 * y0)) * third
+        return y0 - root
 
     mixes = [(opsin_mix(t, 0), opsin_mix(t, 1)) for t in (a3, b3)]
 
@@ -1104,6 +1106,7 @@ def fused_scale_pallas_v4(
     *,
     emit_ds: bool,
     precision: str = "highest",
+    newton: bool = True,
     interpret: bool = False,
 ):
     """One padded-chain pyramid level.
@@ -1187,6 +1190,7 @@ def fused_scale_pallas_v4(
         emit_ds=emit_ds,
         h_odd=bool(h % 2) if emit_ds else False,
         w_odd=bool(w % 2) if emit_ds else False,
+        newton=newton,
     )
     outs = pl.pallas_call(
         kernel,
