@@ -245,3 +245,39 @@ def test_every_frames_semantics(tmp_path, rng, prefetch, every, frames, expect):
     by_index = all_res.psnr.scores
     picked = [int(np.argmin([abs(s - b) for b in by_index])) for s in got]
     assert picked == expect
+
+
+def test_cli_10bit_pq_bt2020(tmp_path, rng, capsys):
+    """10-bit HDR (PQ / BT.2020) pair end-to-end through the CLI with
+    --color overrides (Y4M carries no colour metadata).  The reference
+    todo!()s every non-BT.709/601 combination
+    (cuda-colorspace/src/lib.rs:33-123); this path is first-class here."""
+    import json
+
+    from tests.test_io import _write_y4m
+    from turbo_metrics_tpu.cli import main
+
+    w, h = 64, 48
+    frames, dframes = [], []
+    for i in range(3):
+        y = rng.integers(64, 940, (h, w), dtype=np.uint16)
+        u = rng.integers(64, 960, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint16)
+        v = rng.integers(64, 960, ((h + 1) // 2, (w + 1) // 2), dtype=np.uint16)
+        frames.append((y, u, v))
+        yd = np.clip(y + rng.integers(-16, 17, y.shape), 0, 1023).astype(np.uint16)
+        dframes.append((yd, u, v))
+    pr, pd = tmp_path / "r.y4m", tmp_path / "d.y4m"
+    _write_y4m(pr, frames, w, h, depth=10)
+    _write_y4m(pd, dframes, w, h, depth=10)
+
+    rc = main([
+        str(pr), str(pd), "-m", "ssimulacra2", "-m", "psnr",
+        "--color-matrix", "bt2020", "--color-transfer", "pq",
+        "--output", "json", "--no-progress",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["frame_count"] == 3
+    assert all(np.isfinite(s) for s in out["ssimulacra2"]["scores"])
+    assert all(0 <= s <= 100 for s in out["ssimulacra2"]["scores"])
+    assert all(s > 20 for s in out["psnr"]["scores"])
