@@ -162,3 +162,53 @@ def test_seek_to_frame(tmp_path):
         f = src2.get_frame()
         assert np.array_equal(f.y, seq[target]), target
     assert not src2.seek_to_frame(100)  # beyond EOF
+
+
+def test_engine_mesh_sharding(rng):
+    """Engine-level multi-chip: TurboMetrics(mesh=...) shards frame batches
+    over the device mesh via shard_map; scores must equal the single-device
+    engine bit-for-bit (pure frame-DP, SURVEY.md section 5)."""
+    import jax
+    import numpy as np
+    from turbo_metrics_tpu.color.characteristics import height_fallback
+    from turbo_metrics_tpu.engine import Metrics, TurboMetrics
+    from turbo_metrics_tpu.io.frame_source import RawFrame
+    from turbo_metrics_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        import pytest as _pytest
+
+        _pytest.skip("needs 4 virtual devices")
+    w, h = 64, 48
+    cc = (height_fallback(h), "limited")
+    frames_r, frames_d = [], []
+    for i in range(8):
+        y = rng.integers(16, 236, (h, w), dtype=np.uint8)
+        uv = rng.integers(16, 240, ((h + 1) // 2, (w + 1) // 2, 2), dtype=np.uint8)
+        frames_r.append(RawFrame(y=y, uv=uv, depth=8))
+        yd = np.clip(y.astype(np.int16) + rng.integers(-5, 6, y.shape), 0, 255).astype(np.uint8)
+        frames_d.append(RawFrame(y=yd, uv=uv, depth=8))
+
+    m = Metrics(psnr=True, ssim=True, ssimulacra2=True, xpsnr=True)
+    single = TurboMetrics(w, h, m, batch=8)
+    s1 = single.compute_frames(frames_r, cc, frames_d, cc)
+
+    mesh = make_mesh(4)
+    sharded = TurboMetrics(w, h, m, batch=8, mesh=mesh)
+    s2 = sharded.compute_frames(frames_r, cc, frames_d, cc)
+
+    for a, b in zip(s1, s2):
+        for name in ("psnr", "ssim", "ssimulacra2", "xpsnr"):
+            assert getattr(a, name) == pytest.approx(getattr(b, name), abs=1e-6), name
+
+    # batch rounding: a mesh engine rounds batch up to a mesh multiple
+    odd = TurboMetrics(w, h, m, batch=5, mesh=mesh)
+    assert odd.batch == 8
+    s3 = odd.compute_frames(frames_r[:5], cc, frames_d[:5], cc)
+    assert len(s3) == 5
+    for a, b in zip(s1[:5], s3):
+        assert a.psnr == pytest.approx(b.psnr, abs=1e-6)
+
+    # vmaf cannot shard (in-step temporal shift) and must say so
+    with pytest.raises(ValueError):
+        TurboMetrics(w, h, Metrics(vmaf=True), mesh=mesh)

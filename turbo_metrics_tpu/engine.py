@@ -317,13 +317,25 @@ class TurboMetrics:
         *,
         batch: int | None = None,
         vmaf_model=None,
+        mesh=None,
     ):
         if not metrics.any():
             raise ValueError("at least one metric must be selected")
         self.width = int(width)
         self.height = int(height)
         self.metrics = metrics
+        self.mesh = mesh  # jax.sharding.Mesh: shard frame batches over chips
+        if mesh is not None:
+            if metrics.vmaf:
+                # The motion feature shifts blurred frames across the batch
+                # axis inside the step; sharding it needs a cross-chip
+                # permute that is not implemented yet.
+                raise ValueError("mesh sharding does not support -m vmaf yet")
+            self._mesh_size = int(np.prod(mesh.devices.shape))
         self.batch = batch if batch is not None else default_batch(width, height)
+        if mesh is not None and self.batch % self._mesh_size:
+            # Round the batch up so every chip gets equal frames per step.
+            self.batch = -(-self.batch // self._mesh_size) * self._mesh_size
         self.num_scales = len(scale_dims(self.height, self.width))
         self._step_cache: dict = {}
         self._prev_ref: Optional[np.ndarray] = None  # XPSNR temporal state
@@ -338,6 +350,27 @@ class TurboMetrics:
         self._vmaf_prev_blur = None
 
     # -- device program ----------------------------------------------------
+
+    def _shard(self, step):
+        """Wrap a step in shard_map over the frame axis (SURVEY.md section 5:
+        pure data parallelism — scores gather as per-frame scalars, no
+        collectives in the hot path).  shard_map (not bare jit sharding) so
+        the Pallas kernels trace at per-chip local shapes."""
+        if self.mesh is None:
+            return step
+        try:
+            from jax import shard_map as _shard_map  # jax >= 0.4.35 style
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map as _shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(self.mesh.axis_names[0])
+        return _shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+        )
 
     def _get_step(self, spec_ref: ConvertSpec, spec_dis: ConvertSpec):
         key = (spec_ref, spec_dis)
@@ -397,7 +430,7 @@ class TurboMetrics:
                         )
                     }
 
-                fn = jax.jit(fast_step)
+                fn = jax.jit(self._shard(fast_step))
                 self._step_cache[key] = fn
                 return fn
 
@@ -464,7 +497,7 @@ class TurboMetrics:
                     out["vmaf_last_blur"] = blurred[-1]
                 return out
 
-            fn = jax.jit(step)
+            fn = jax.jit(self._shard(step))
             self._step_cache[key] = fn
         return fn
 
