@@ -16,6 +16,15 @@ import time
 log = logging.getLogger("turbo_metrics_tpu")
 
 
+def _version() -> str:
+    try:
+        from importlib.metadata import version
+
+        return version("turbo-metrics-tpu")
+    except Exception:
+        return "0.1.0 (source tree)"
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="turbo-metrics",
@@ -25,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
             "metric computations run on TPU via JAX/XLA. Use TM_LOG=debug "
             "for verbose logging."
         ),
+    )
+    p.add_argument(
+        "--version",
+        action="version",
+        version=f"turbo-metrics {_version()}",
     )
     p.add_argument("reference", help="Reference media. Use '-' to read from stdin.")
     p.add_argument("distorted", help="Distorted media. Use '-' to read from stdin.")

@@ -1,23 +1,35 @@
-"""Pallas TPU megakernel: one fused pass per SSIMULACRA2 scale.
+"""Pallas TPU megakernels for SSIMULACRA2: one fused pass per scale.
 
 The jnp pipeline materialises ~13 HBM-sized intermediates per scale (products,
-two blur passes, maps).  This kernel keeps everything in VMEM: each grid step
-DMAs one (tile + halo) block of the two XYB planes, computes the five
-products, both separable 11-tap blur passes, the SSIM and edge-difference
-error maps, and accumulates the six masked partial sums — writing back only a
-tiny sums row per plane.  Per-scale HBM traffic drops from ~1.3 GB to
-~0.3 GB for a 1080p batch of 4.
+two blur passes, maps).  These kernels keep everything in VMEM: each grid step
+DMAs one (tile + halo) block of the two images, computes the products, the
+separable 11-tap blur, the SSIM and edge-difference error maps, and the six
+masked partial sums — writing back only a tiny sums row per plane.
 
 This is the TPU analog of the reference's fused 5-image blur + CUDA-graph
 scheduling (ssimulacra2-cuda/src/kernel.rs:219-277, lib.rs:140-229), fused
 further: where the reference does 3 HBM round trips per scale
-(blur -> transpose -> blur), this kernel does one.
+(blur -> transpose -> blur), these kernels do at most one.
 
-Alignment: Mosaic requires DMA slices tiled to (8, 128) in the last two
-dims, so the zero halo (R = 5) is embedded in aligned padding — 8 rows on
-top, 64 lanes on the left — and tiles are read with an aligned overlap of
-(16 rows, 128 lanes).  The padding is zero, matching the reference's
-zero-padded blur borders exactly; sums are masked to the valid (h, w) region.
+Four generations live here, in measured-improvement order (docs/
+PERFORMANCE.md records the numbers; older ones stay as the baselines for
+tools/perf_lab.py and the regression tests):
+
+  * v1 ``scale_sums_pallas`` — blur+maps+sums per tile, XYB precomputed.
+  * v2 ``fused_scale_pallas`` — XYB (shared cube roots) folded in.
+  * v3 ``fused_scale_pallas_v3`` — H blur pass as a banded matmul on the
+    MXU, cross-step double-buffered input DMA, 4 blurs instead of 5
+    (the maps only use s11+s22, so blur(a²)+blur(b²) = blur(a²+b²)).
+  * v4 ``fused_scale_pallas_v4`` — the product path: the padded-chain
+    layout (pad_geom4) shared with the producers, and the exact MXU
+    downscale emitting the NEXT level's padded input in-kernel
+    (zero-aliased output buffer).  No jnp.pad or slice copies anywhere in
+    the scale loop.
+
+Alignment rules (Mosaic): DMA slices tile to (8, 128) in the last two dims,
+so the zero halo (R = 5) is embedded in aligned padding and tiles read with
+aligned overlap.  Padding is zero, matching the reference's zero-padded blur
+borders exactly; sums are masked to the valid (h, w) region.
 """
 
 from __future__ import annotations
