@@ -462,3 +462,27 @@ def test_no_backend_error_describes_stream(vp9_mkv, monkeypatch):
         create_source(path)
     msg = str(ei.value)
     assert "vp9" in msg and f"{w}x{h}" in msg and "Matroska" in msg
+
+
+def test_color_override_preserves_pushback(reschange_ts):
+    """ColorOverrideSource must honour the inner source's push-back queue
+    (the reconfiguration boundary frame would otherwise be skipped)."""
+    from turbo_metrics_tpu.io.frame_source import ColorOverrideSource, ResolutionChanged
+    from turbo_metrics_tpu.io.native import NativeVideoSource, native_available
+
+    if not native_available():
+        pytest.skip("native demuxer not built")
+    src = ColorOverrideSource(NativeVideoSource(reschange_ts), crange="full")
+    sizes = []
+    while True:
+        try:
+            f = src.get_frame()
+        except ResolutionChanged:
+            continue
+        if f is None:
+            break
+        assert f.full_range  # override applied
+        sizes.append((f.width, f.height))
+    # Both segments fully delivered, including the held boundary frame.
+    assert (64, 48) in sizes and (128, 96) in sizes
+    assert len(sizes) >= 6

@@ -194,10 +194,16 @@ class ColorOverrideSource(FrameSource):
         self._inner.skip_frames(n)
 
     def next_frame(self) -> Optional[RawFrame]:
-        f = self._inner.next_frame()
+        # get_frame (not next_frame) so the inner source's push-back queue is
+        # honoured — e.g. the boundary frame a reconfiguring NativeVideoSource
+        # holds, or a mate returned by the prefetcher at a segment boundary.
+        f = self._inner.get_frame()
         if f is not None and self._crange is not None:
             f.full_range = self._crange == "full"
         return f
+
+    def push_back(self, frame: RawFrame) -> None:
+        self._inner.push_back(frame)
 
     def close(self) -> None:
         self._inner.close()
