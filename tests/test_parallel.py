@@ -209,6 +209,27 @@ def test_engine_mesh_sharding(rng):
     for a, b in zip(s1[:5], s3):
         assert a.psnr == pytest.approx(b.psnr, abs=1e-6)
 
-    # vmaf cannot shard (in-step temporal shift) and must say so
-    with pytest.raises(ValueError):
-        TurboMetrics(w, h, Metrics(vmaf=True), mesh=mesh)
+    # vmaf shards too: the motion boundary frame crosses shards via a
+    # ppermute; must match the single-device engine exactly.
+    mv = Metrics(vmaf=True, xpsnr=True)
+    sv1 = TurboMetrics(w, h, mv, batch=8).compute_frames(frames_r, cc, frames_d, cc)
+    sv2 = TurboMetrics(w, h, Metrics(vmaf=True, xpsnr=True), batch=8, mesh=mesh).compute_frames(
+        frames_r, cc, frames_d, cc
+    )
+    for a, b in zip(sv1, sv2):
+        assert a.vmaf_motion == pytest.approx(b.vmaf_motion, abs=0)
+        assert a.vmaf_vif == pytest.approx(b.vmaf_vif, abs=1e-9)
+        assert a.vmaf_adm == pytest.approx(b.vmaf_adm, abs=1e-9)
+        assert a.xpsnr == pytest.approx(b.xpsnr, abs=1e-9)
+
+    # ...including streaming state across chunked batches
+    e1 = TurboMetrics(w, h, Metrics(vmaf=True), batch=4)
+    c1 = e1.compute_frames(frames_r[:4], cc, frames_d[:4], cc) + e1.compute_frames(
+        frames_r[4:], cc, frames_d[4:], cc
+    )
+    e2 = TurboMetrics(w, h, Metrics(vmaf=True), batch=4, mesh=mesh)
+    c2 = e2.compute_frames(frames_r[:4], cc, frames_d[:4], cc) + e2.compute_frames(
+        frames_r[4:], cc, frames_d[4:], cc
+    )
+    for a, b in zip(c1, c2):
+        assert a.vmaf_motion == pytest.approx(b.vmaf_motion, abs=0)

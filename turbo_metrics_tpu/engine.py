@@ -326,11 +326,6 @@ class TurboMetrics:
         self.metrics = metrics
         self.mesh = mesh  # jax.sharding.Mesh: shard frame batches over chips
         if mesh is not None:
-            if metrics.vmaf:
-                # The motion feature shifts blurred frames across the batch
-                # axis inside the step; sharding it needs a cross-chip
-                # permute that is not implemented yet.
-                raise ValueError("mesh sharding does not support -m vmaf yet")
             self._mesh_size = int(np.prod(mesh.devices.shape))
         self.batch = batch if batch is not None else default_batch(width, height)
         if mesh is not None and self.batch % self._mesh_size:
@@ -353,9 +348,10 @@ class TurboMetrics:
 
     def _shard(self, step):
         """Wrap a step in shard_map over the frame axis (SURVEY.md section 5:
-        pure data parallelism — scores gather as per-frame scalars, no
-        collectives in the hot path).  shard_map (not bare jit sharding) so
-        the Pallas kernels trace at per-chip local shapes."""
+        pure data parallelism — scores gather as per-frame scalars; the one
+        cross-chip edge is VMAF motion's shard-boundary frame, a single
+        ppermute).  shard_map (not bare jit sharding) so the Pallas kernels
+        trace at per-chip local shapes."""
         if self.mesh is None:
             return step
         try:
@@ -365,10 +361,15 @@ class TurboMetrics:
         from jax.sharding import PartitionSpec as P
 
         spec = P(self.mesh.axis_names[0])
+        aux_spec: dict = {}
+        if self.metrics.xpsnr:
+            aux_spec["prev_ref"] = spec  # (B, ...) host-built, batch-sharded
+        if self.metrics.vmaf:
+            aux_spec["vmaf_prev_blur"] = P()  # (H, W): replicated
         return _shard_map(
             step,
             mesh=self.mesh,
-            in_specs=(spec, spec, spec),
+            in_specs=(spec, spec, aux_spec),
             out_specs=spec,
         )
 
@@ -434,6 +435,8 @@ class TurboMetrics:
                 self._step_cache[key] = fn
                 return fn
 
+            axis_name = self.mesh.axis_names[0] if self.mesh is not None else None
+
             def step(ref_arrays, dis_arrays, aux):
                 lin_ref = _convert_to_linear(spec_ref, ref_arrays)
                 lin_dis = _convert_to_linear(spec_dis, dis_arrays)
@@ -487,14 +490,34 @@ class TurboMetrics:
                     )
                     blurred = integer_blur(y_ref, depth=spec_ref.depth)
                     prev_blur = aux["vmaf_prev_blur"]
-                    prev_seq = jnp.concatenate(
-                        [prev_blur[None], blurred[:-1]], axis=0
-                    )
+                    if axis_name is not None:
+                        # Sharded batch: each shard's first frame diffs
+                        # against the PREVIOUS shard's last blurred frame —
+                        # one ppermute over ICI; shard 0 uses the streaming
+                        # state (the previous batch's global last frame).
+                        last32 = blurred[-1].astype(jnp.int32)
+                        n = jax.lax.axis_size(axis_name)
+                        left_last = jax.lax.ppermute(
+                            last32, axis_name, [(i, i + 1) for i in range(n - 1)]
+                        )
+                        idx = jax.lax.axis_index(axis_name)
+                        prev0 = jnp.where(
+                            idx == 0, prev_blur.astype(jnp.int32), left_last
+                        )
+                        prev_seq = jnp.concatenate(
+                            [prev0[None], blurred[:-1].astype(jnp.int32)], axis=0
+                        )
+                    else:
+                        prev_seq = jnp.concatenate(
+                            [prev_blur[None], blurred[:-1]], axis=0
+                        ).astype(jnp.int32)
                     diff = jnp.abs(
-                        blurred.astype(jnp.int32) - prev_seq.astype(jnp.int32)
+                        blurred.astype(jnp.int32) - prev_seq
                     ).astype(jnp.uint32)
                     out["vmaf_sad_rows"] = diff.sum(axis=-1, dtype=jnp.uint32)
-                    out["vmaf_last_blur"] = blurred[-1]
+                    # (1, H, W) so sharded runs concatenate per-shard lasts;
+                    # the host takes the global last ([-1]).
+                    out["vmaf_last_blur"] = blurred[-1:]
                 return out
 
             fn = jax.jit(self._shard(step))
@@ -587,7 +610,7 @@ class TurboMetrics:
             adm = dlm_score(np.asarray(out["dlm_stats"]))
             vs = vif_scores(np.asarray(out["vif_stats"]))
             sads = np.asarray(out["vmaf_sad_rows"], dtype=np.int64).sum(axis=-1)
-            self._vmaf_prev_blur = np.asarray(out["vmaf_last_blur"])
+            self._vmaf_prev_blur = np.asarray(out["vmaf_last_blur"])[-1]
             for i in range(n):
                 scores[i].vmaf_vif = float(vs["vif"][i])
                 for k in range(4):
