@@ -468,7 +468,7 @@ class TurboMetrics:
                     y_prev = _luma_code(spec_ref, aux["prev_ref"])
                     out["xpsnr_stats"] = xpsnr_block_stats(y_ref, y_dis, y_prev)
                 if metrics.vmaf:
-                    from turbo_metrics_tpu.ops.adm import dlm_stats
+                    from turbo_metrics_tpu.ops.adm import adm_stats
                     from turbo_metrics_tpu.ops.vif import vif_scale_stats
                     from turbo_metrics_tpu.ops.vmaf_motion import integer_blur
 
@@ -484,7 +484,7 @@ class TurboMetrics:
                         y_ref.astype(jnp.float32) * scale8,
                         y_dis.astype(jnp.float32) * scale8,
                     )
-                    out["dlm_stats"] = dlm_stats(
+                    out["adm_stats"] = adm_stats(
                         y_ref.astype(jnp.float32) * scale8,
                         y_dis.astype(jnp.float32) * scale8,
                     )
@@ -603,11 +603,13 @@ class TurboMetrics:
             for i in range(n):
                 scores[i].ssimulacra2 = float(s2[i])
         if "vif_stats" in out:
-            from turbo_metrics_tpu.ops.adm import dlm_score
+            from turbo_metrics_tpu.ops.adm import adm_score
             from turbo_metrics_tpu.ops.vif import vif_scores
             from turbo_metrics_tpu.ops.vmaf_motion import motion_score
 
-            adm = dlm_score(np.asarray(out["dlm_stats"]))
+            adm = adm_score(
+                np.asarray(out["adm_stats"]), self.height, self.width
+            )["adm2"]
             vs = vif_scores(np.asarray(out["vif_stats"]))
             sads = np.asarray(out["vmaf_sad_rows"], dtype=np.int64).sum(axis=-1)
             self._vmaf_prev_blur = np.asarray(out["vmaf_last_blur"])[-1]

@@ -1,26 +1,45 @@
-"""ADM / DLM (Detail Loss Metric) elementary feature — documented variant.
+"""ADM (adm2) elementary feature, following libvmaf's float-ADM conventions.
 
-The last VMAF elementary feature (alongside motion and VIF).  Implements the
-DLM structure of Li, Lukin et al. (2011), which libvmaf's `adm2` is based on:
+The last VMAF elementary feature (alongside motion and VIF).  The reference
+project has no ADM of its own — it binds libvmaf and reads back
+``VMAF_feature_adm2_score`` (reference vmaf/src/lib.rs:160-217), so parity
+means agreeing with libvmaf's pipeline.  This implements the float-ADM
+("adm2") conventions of libvmaf's ``src/feature/adm.c``/``adm_tools.c``
+structure (itself the Detail Loss Metric of Li, Lukin et al. 2011):
 
-  1. 4-level 2-D Daubechies-2 DWT of both luma images (symmetric borders,
-     even-phase decimation).
-  2. Decoupling per detail subband (H, V, D): restored R = clip(T/O, 0, 1)*O,
-     except where the local gradient orientations of T and O agree within 1
-     degree (atan2 over the V/H subbands), where R = T; additive A = T - R.
-  3. CSF weighting per level: Mannos-Sakrison contrast sensitivity sampled at
-     each subband's centre frequency for a 32 pixels/degree display.
-  4. Contrast masking of the restored detail by the additive impairment: a
-     3x3 neighbourhood sum of |csf*A| / 30 thresholds |csf*R|.
-  5. Minkowski 3-norm pooling over the central region (10% border crop):
-     dlm = sum_levels ||masked csf*R||_3 / sum_levels ||csf*O||_3.
+  1. 4-level 2-D Daubechies-2 DWT, orthonormal taps, symmetric half-sample
+     border extension, output index i reads input ``2*i - 1 + tap`` (odd
+     sizes round up, matching libvmaf's ``(n+1)/2`` band sizes).
+  2. Decoupling per detail subband b in {H, V, D}:
+     ``k = t/(o + 1e-30)`` clipped to [0, 1], restored ``r = k*o``; where the
+     (H,V) gradient vectors of ref and dis agree within 1 degree — tested as
+     ``dot >= 0 and dot^2 >= cos^2(1deg) * |o|^2 * |t|^2``, no atan2 — the
+     distorted detail is adopted verbatim (``r = t``).  Additive impairment
+     ``a = t - r``.
+  3. CSF weighting per level/orientation: reciprocal of the Watson-Yang-
+     Solomon-Villasenor (1997) DWT quantization step
+     ``Q = 2 a 10^(k log10(2^(level+1) f0 g / r)^2) / g`` with the paper's
+     Y-channel db9/7 parameters a=0.495, k=0.466, f0=0.401 and orientation
+     gains g = 1.0 (H, V) / 0.534 (D), at display visual resolution
+     r = 3.0 (view dist, heights) * 1080 (display height) * pi/180.
+  4. Contrast masking: one threshold map per level accumulating all three
+     CSF'd additive bands through a 3x3 filter with centre weight 1/15 and
+     1/30 elsewhere (reflect-101 borders); masked detail
+     ``max(|csf*r| - thr, 0)``.
+  5. Pooling: per band, Minkowski 3-norm over the centre region (border
+     ``int(dim*0.1 - 0.5)`` cropped per side) **plus** the stabilising term
+     ``cbrt(region_area / 32)`` added to each band's norm; per-scale and
+     total scores are num/den with a ``1e-10 * (w*h)/(1920*1080)`` floor
+     under which they clamp to 0 (den == 0 scores 1.0).
 
-NOTE ON PARITY: libvmaf's integer adm2 uses its own fixed-point pipeline,
-CSF table and border conventions that are not reproduced bit-for-bit here;
-this implementation follows the published DLM structure with the documented
-choices above and is validated against its own NumPy oracle
-(refimpl/adm.py).  The reference project has no ADM implementation at all
-(it binds libvmaf, vmaf/src/lib.rs).
+Inputs are luma in 8-bit code-value units.  libvmaf feeds luma - 128; with
+symmetric extension every filter here is exactly shift-invariant for the
+detail bands, so the offset is a no-op and omitted.
+
+The device half (``adm_stats``) returns per-scale/per-band centre-region
+cube sums; the cube roots, stabilisers and score ratios run on host in f64
+(``adm_score``).  Oracle: refimpl/adm.py, an independent NumPy
+implementation of the same specification.
 """
 
 from __future__ import annotations
@@ -30,9 +49,18 @@ import jax.numpy as jnp
 import numpy as np
 
 NUM_LEVELS = 4
-PIX_PER_DEG = 32.0
-ANGLE_THRESHOLD = np.float32(np.pi / 180.0)
-BORDER_FRACTION = 0.1
+BORDER_FACTOR = 0.1
+# Watson et al. (1997) DWT quantization-step model, Y channel, 9/7 wavelet
+# (libvmaf dwt_7_9_YCbCr_threshold): a, k, f0, orientation gains g.
+WATSON_A = 0.495
+WATSON_K = 0.466
+WATSON_F0 = 0.401
+WATSON_G = (1.501, 1.0, 0.534, 1.0)  # indexed: approx, H/V, diagonal
+NORM_VIEW_DIST = 3.0  # libvmaf DEFAULT_ADM_NORM_VIEW_DIST
+REF_DISPLAY_HEIGHT = 1080  # libvmaf DEFAULT_ADM_REF_DISPLAY_HEIGHT
+NUMDEN_LIMIT = 1e-10  # scaled by (w*h)/(1920*1080)
+COS_1DEG_SQ = float(np.cos(np.pi / 180.0) ** 2)
+DECOUPLE_EPS = 1e-30
 
 _SQRT3 = np.sqrt(3.0)
 DB2_LO = np.array(
@@ -41,35 +69,63 @@ DB2_LO = np.array(
 DB2_HI = np.array([DB2_LO[3], -DB2_LO[2], DB2_LO[1], -DB2_LO[0]], dtype=np.float64)
 
 
-def csf_weight(level: int) -> float:
-    """Mannos-Sakrison CSF at the subband centre frequency (cycles/degree).
+def dwt_quant_step(level: int, theta: int) -> float:
+    """Watson DWT quantization step Q(level, orientation) at the default
+    display visual resolution (56.55 px/degree)."""
+    r = NORM_VIEW_DIST * REF_DISPLAY_HEIGHT * np.pi / 180.0
+    g = WATSON_G[theta]
+    temp = np.log10((2.0 ** (level + 1)) * WATSON_F0 * g / r)
+    return float(2.0 * WATSON_A * 10.0 ** (WATSON_K * temp * temp) / g)
 
-    Level lambda has centre frequency pix_per_deg / 2^(lambda+1).
-    """
-    f = PIX_PER_DEG / (2.0 ** (level + 2))
-    return float(2.6 * (0.0192 + 0.114 * f) * np.exp(-((0.114 * f) ** 1.1)))
+
+def csf_rfactors(level: int) -> tuple[float, float]:
+    """(1/Q for H and V bands, 1/Q for the diagonal band) at a level."""
+    return 1.0 / dwt_quant_step(level, 1), 1.0 / dwt_quant_step(level, 2)
 
 
-def _filter_rows(x: jax.Array, taps: np.ndarray) -> jax.Array:
-    """'same'-ish correlation along the last axis, symmetric padding, then
-    decimate by 2 (even phase)."""
+def band_sizes(h: int, w: int) -> list[tuple[int, int]]:
+    """Detail-band (h, w) per DWT level (libvmaf's ceil halving)."""
+    out = []
+    for _ in range(NUM_LEVELS):
+        h, w = (h + 1) // 2, (w + 1) // 2
+        out.append((h, w))
+    return out
+
+
+def center_region(h: int, w: int) -> tuple[int, int, int, int]:
+    """(top, bottom, left, right) of the pooled centre region, libvmaf's
+    ``int(dim * border_factor - 0.5)`` crop per side."""
+    left = max(0, int(w * BORDER_FACTOR - 0.5))
+    top = max(0, int(h * BORDER_FACTOR - 0.5))
+    return top, h - top, left, w - left
+
+
+def _filter_dec(x: jax.Array, taps: np.ndarray) -> jax.Array:
+    """DWT analysis along the last axis: symmetric extension, output index i
+    correlates taps against input starting at 2*i - 1, ceil(d/2) outputs
+    (libvmaf adm_dwt2 convention).  Decimation via pair-select reshape (no
+    strided slices, which Mosaic lowers poorly)."""
     n = len(taps)
     w = [jnp.float32(v) for v in taps]
     d = x.shape[-1]
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(1, n - 2)], mode="symmetric")
-    acc = sum(w[k] * jax.lax.slice_in_dim(xp, k, k + d, axis=-1) for k in range(n))
-    # even-phase decimation without strided slices: pair-select via reshape
-    return acc.reshape(*acc.shape[:-1], d // 2, 2)[..., 0]
+    co = (d + 1) // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(1, n - 1)], mode="symmetric")
+    acc = None
+    for k in range(n):
+        s = jax.lax.slice_in_dim(xp, k, k + 2 * co, axis=-1)
+        s = s.reshape(*s.shape[:-1], co, 2)[..., 0]
+        acc = s * w[k] if acc is None else acc + s * w[k]
+    return acc
 
 
 def _dwt_level(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """One 2-D db2 DWT level of (..., H, W) (H, W even) -> (A, H, V, D)."""
-    lo_r = _filter_rows(x, DB2_LO)
-    hi_r = _filter_rows(x, DB2_HI)
+    """One 2-D db2 DWT level of (..., H, W) -> (A, H, V, D) at ceil-half size."""
+    lo_r = _filter_dec(x, DB2_LO)
+    hi_r = _filter_dec(x, DB2_HI)
 
     def cols(y, taps):
         yt = jnp.swapaxes(y, -1, -2)
-        out = _filter_rows(yt, taps)
+        out = _filter_dec(yt, taps)
         return jnp.swapaxes(out, -1, -2)
 
     a = cols(lo_r, DB2_LO)
@@ -79,78 +135,110 @@ def _dwt_level(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array
     return a, h, v, d
 
 
-def _even(x: jax.Array) -> jax.Array:
-    h = (x.shape[-2] // 2) * 2
-    w = (x.shape[-1] // 2) * 2
-    return x[..., :h, :w]
-
-
-def _box3(x: jax.Array) -> jax.Array:
-    """3x3 neighbourhood sum, zero borders."""
+def _mask_filter(x: jax.Array) -> jax.Array:
+    """3x3 masking filter: centre 1/15, others 1/30, reflect-101 borders."""
     h, w = x.shape[-2], x.shape[-1]
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)])
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)], mode="reflect")
     acc = None
     for dy in range(3):
         for dx in range(3):
+            f = np.float32(1.0 / 15.0 if (dy == 1 and dx == 1) else 1.0 / 30.0)
             s = jax.lax.slice_in_dim(
                 jax.lax.slice_in_dim(xp, dy, dy + h, axis=-2), dx, dx + w, axis=-1
             )
-            acc = s if acc is None else acc + s
+            acc = s * f if acc is None else acc + s * f
     return acc
 
 
-def dlm_stats(y_ref: jax.Array, y_dis: jax.Array) -> jax.Array:
-    """DLM numerator/denominator cube-sums per level for (B, H, W) f32 luma.
+def adm_stats(y_ref: jax.Array, y_dis: jax.Array) -> jax.Array:
+    """Per-scale, per-band centre-region cube sums for (B, H, W) f32 luma.
 
-    Returns (B, NUM_LEVELS, 2): [..., 0] = sum |masked csf*R|^3,
-    [..., 1] = sum |csf*O|^3 over the central region.
+    Returns (B, NUM_LEVELS, 3, 2): [..., b, 0] = sum |masked csf*r_b|^3,
+    [..., b, 1] = sum |csf*o_b|^3 over the centre region, bands b = (H, V, D).
     """
-    o = _even(y_ref.astype(jnp.float32))
-    t = _even(y_dis.astype(jnp.float32))
+    o = y_ref.astype(jnp.float32)
+    t = y_dis.astype(jnp.float32)
+    eps = np.float32(DECOUPLE_EPS)
     out = []
-    eps = np.float32(1e-12)
     for level in range(NUM_LEVELS):
         o_a, o_h, o_v, o_d = _dwt_level(o)
         t_a, t_h, t_v, t_d = _dwt_level(t)
 
-        psi_o = jnp.arctan2(o_v, o_h + eps)
-        psi_t = jnp.arctan2(t_v, t_h + eps)
-        dpsi = jnp.abs(psi_o - psi_t)
-        dpsi = jnp.minimum(dpsi, 2.0 * np.float32(np.pi) - dpsi)
-        angle_ok = dpsi < ANGLE_THRESHOLD
+        # Decoupling (libvmaf adm_decouple_s).
+        ot_dp = o_h * t_h + o_v * t_v
+        o_mag_sq = o_h * o_h + o_v * o_v
+        t_mag_sq = t_h * t_h + t_v * t_v
+        angle_ok = (ot_dp >= 0.0) & (
+            ot_dp * ot_dp >= np.float32(COS_1DEG_SQ) * o_mag_sq * t_mag_sq
+        )
 
-        csf = np.float32(csf_weight(level))
-        num_l = jnp.float32(0.0)
-        den_l = jnp.float32(0.0)
+        rf_hv, rf_d = csf_rfactors(level)
+        rfs = (np.float32(rf_hv), np.float32(rf_hv), np.float32(rf_d))
+
+        csf_r, csf_a, csf_o = [], [], []
+        for o_b, t_b, rf in zip((o_h, o_v, o_d), (t_h, t_v, t_d), rfs):
+            k = jnp.clip(t_b / (o_b + eps), 0.0, 1.0)
+            r = jnp.where(angle_ok, t_b, k * o_b)
+            csf_r.append(rf * r)
+            csf_a.append(rf * (t_b - r))
+            csf_o.append(rf * o_b)
+
+        # One masking threshold map accumulating all three additive bands.
+        thr = None
+        for a_b in csf_a:
+            m = _mask_filter(jnp.abs(a_b))
+            thr = m if thr is None else thr + m
+
         hh, ww = o_h.shape[-2], o_h.shape[-1]
-        bh = max(1, int(hh * BORDER_FRACTION))
-        bw = max(1, int(ww * BORDER_FRACTION))
-
-        rs = []
-        as_ = []
-        os_ = []
-        for o_s, t_s in ((o_h, t_h), (o_v, t_v), (o_d, t_d)):
-            k = jnp.clip(t_s / jnp.where(jnp.abs(o_s) < eps, eps, o_s), 0.0, 1.0)
-            k = jnp.where(jnp.abs(o_s) < eps, 0.0, k)
-            r = jnp.where(angle_ok, t_s, k * o_s)
-            rs.append(csf * r)
-            as_.append(csf * (t_s - r))
-            os_.append(csf * o_s)
-        for r, a_, o_s in zip(rs, as_, os_):
-            thr = _box3(jnp.abs(a_)) * np.float32(1.0 / 30.0)
-            rm = jnp.maximum(jnp.abs(r) - thr, 0.0)
-            rm = rm[..., bh : hh - bh, bw : ww - bw]
-            oc = jnp.abs(o_s)[..., bh : hh - bh, bw : ww - bw]
-            num_l = num_l + jnp.sum(rm * rm * rm, axis=(-2, -1))
-            den_l = den_l + jnp.sum(oc * oc * oc, axis=(-2, -1))
-        out.append(jnp.stack([num_l, den_l], axis=-1))
-        o, t = _even(o_a), _even(t_a)
-    return jnp.stack(out, axis=-2)  # (B, 4, 2)
+        top, bottom, left, right = center_region(hh, ww)
+        bands = []
+        for r_b, o_b in zip(csf_r, csf_o):
+            rm = jnp.maximum(jnp.abs(r_b) - thr, 0.0)
+            rm = rm[..., top:bottom, left:right]
+            oc = jnp.abs(o_b)[..., top:bottom, left:right]
+            bands.append(
+                jnp.stack(
+                    [
+                        jnp.sum(rm * rm * rm, axis=(-2, -1)),
+                        jnp.sum(oc * oc * oc, axis=(-2, -1)),
+                    ],
+                    axis=-1,
+                )
+            )
+        out.append(jnp.stack(bands, axis=-2))  # (B, 3, 2)
+        o, t = o_a, t_a
+    return jnp.stack(out, axis=-3)  # (B, 4, 3, 2)
 
 
-def dlm_score(stats: np.ndarray) -> np.ndarray:
-    """(..., 4, 2) cube-sums -> DLM score in [0, ~1] (1 = no detail loss)."""
+def adm_score(
+    stats: np.ndarray, height: int, width: int
+) -> dict[str, np.ndarray]:
+    """(..., 4, 3, 2) cube sums -> {'adm2', 'adm_scale0..3'} (libvmaf adm.c
+    final pooling: per-band cbrt + cbrt(area/32) stabiliser, numden floor)."""
     stats = np.asarray(stats, dtype=np.float64)
-    num = np.cbrt(np.maximum(stats[..., 0], 0.0)).sum(axis=-1)
-    den = np.cbrt(np.maximum(stats[..., 1], 0.0)).sum(axis=-1)
-    return (num + 1e-4) / (den + 1e-4)
+    sizes = band_sizes(height, width)
+    num_scale = np.zeros(stats.shape[:-3] + (NUM_LEVELS,))
+    den_scale = np.zeros_like(num_scale)
+    for level, (hh, ww) in enumerate(sizes):
+        top, bottom, left, right = center_region(hh, ww)
+        stab = np.cbrt((bottom - top) * (right - left) / 32.0)
+        num_scale[..., level] = (
+            np.cbrt(np.maximum(stats[..., level, :, 0], 0.0)) + stab
+        ).sum(axis=-1)
+        den_scale[..., level] = (
+            np.cbrt(np.maximum(stats[..., level, :, 1], 0.0)) + stab
+        ).sum(axis=-1)
+
+    limit = NUMDEN_LIMIT * (width * height) / (1920.0 * 1080.0)
+
+    def ratio(num, den):
+        num = np.where(num < limit, 0.0, num)
+        den = np.where(den < limit, 0.0, den)
+        return np.where(den == 0.0, 1.0, num / np.where(den == 0.0, 1.0, den))
+
+    out = {
+        f"adm_scale{k}": ratio(num_scale[..., k], den_scale[..., k])
+        for k in range(NUM_LEVELS)
+    }
+    out["adm2"] = ratio(num_scale.sum(axis=-1), den_scale.sum(axis=-1))
+    return out

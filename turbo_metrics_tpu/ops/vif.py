@@ -6,7 +6,8 @@ vif_scale0..3).  This is the classic pixel-domain VIF used by VMAF:
 
   per scale k in 0..3:
     window: Gaussian, N = 2^(4-k) + 1 taps, sigma = N/5
-    k > 0: ref/dis <- decimate2(blur_N(ref/dis))
+    k > 0: ref/dis <- decimate2(blur_N(ref/dis))   [the CURRENT scale's
+           window, as in the classic vifp_mscale.m and libvmaf's vif.c]
     mu1, mu2       = blur_N(ref), blur_N(dis)
     sigma1_sq      = blur_N(ref^2)  - mu1^2   (clamped >= 0)
     sigma2_sq      = blur_N(dis^2)  - mu2^2   (clamped >= 0)
@@ -17,7 +18,8 @@ vif_scale0..3).  This is the classic pixel-domain VIF used by VMAF:
     den           += log2(1 + sigma1_sq / sigma_nsq)
     vif_scale_k    = num / den
 
-with sigma_nsq = 2, eps = 1e-10, mirror (symmetric) border padding.
+with sigma_nsq = 2, eps = 1e-10, reflect-101 borders (libvmaf's
+vif_filter1d mirroring: ind < 0 -> -ind, ind >= n -> 2n-ind-2).
 Inputs are luma code values normalised to the 8-bit range.
 """
 
@@ -43,14 +45,14 @@ def vif_window(scale: int) -> np.ndarray:
 
 
 def _blur_same(x: jax.Array, win: np.ndarray) -> jax.Array:
-    """Separable 'same' correlation with symmetric (mirror) padding."""
+    """Separable 'same' correlation with reflect-101 (mirror) borders."""
     n = len(win)
     r = n // 2
     w = [jnp.float32(v) for v in win]
     h_dim, w_dim = x.shape[-2], x.shape[-1]
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 0), (r, r)], mode="symmetric")
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 0), (r, r)], mode="reflect")
     x = sum(w[k] * jax.lax.slice_in_dim(xp, k, k + w_dim, axis=-1) for k in range(n))
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(r, r), (0, 0)], mode="symmetric")
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(r, r), (0, 0)], mode="reflect")
     x = sum(w[k] * jax.lax.slice_in_dim(xp, k, k + h_dim, axis=-2) for k in range(n))
     return x
 
@@ -68,9 +70,8 @@ def vif_scale_stats(ref: jax.Array, dis: jax.Array) -> jax.Array:
     for k in range(NUM_SCALES):
         win = vif_window(k)
         if k > 0:
-            prev = vif_window(k - 1)
-            ref = _decimate2(_blur_same(ref, prev))
-            dis = _decimate2(_blur_same(dis, prev))
+            ref = _decimate2(_blur_same(ref, win))
+            dis = _decimate2(_blur_same(dis, win))
         mu1 = _blur_same(ref, win)
         mu2 = _blur_same(dis, win)
         s11 = jnp.maximum(_blur_same(ref * ref, win) - mu1 * mu1, 0.0)

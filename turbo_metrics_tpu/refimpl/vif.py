@@ -14,12 +14,21 @@ SIGMA_NSQ = 2.0
 EPS = 1e-10
 
 
-def _blur_same(x: np.ndarray, win: np.ndarray) -> np.ndarray:
+def _blur_axis(x: np.ndarray, win: np.ndarray, axis: int) -> np.ndarray:
+    """'same' correlation along ``axis`` with libvmaf's reflect-101 index
+    rule (ind < 0 -> -ind, ind >= n -> 2n-ind-2), via explicit indexing."""
+    x = np.moveaxis(x, axis, -1)
+    n = x.shape[-1]
     r = len(win) // 2
-    xp = np.pad(x, ((0, 0), (r, r)), mode="symmetric")
-    x = sum(win[k] * xp[:, k : k + x.shape[1]] for k in range(len(win)))
-    xp = np.pad(x, ((r, r), (0, 0)), mode="symmetric")
-    return sum(win[k] * xp[k : k + x.shape[0], :] for k in range(len(win)))
+    ind = np.arange(n)[:, None] - r + np.arange(len(win))[None, :]
+    ind = np.abs(ind)
+    ind = np.where(ind >= n, 2 * n - ind - 2, ind)
+    out = np.einsum("...ik,k->...i", x[..., ind], win)
+    return np.moveaxis(out, -1, axis)
+
+
+def _blur_same(x: np.ndarray, win: np.ndarray) -> np.ndarray:
+    return _blur_axis(_blur_axis(x, win, -1), win, -2)
 
 
 def vif_frame(ref: np.ndarray, dis: np.ndarray) -> dict[str, float]:
@@ -29,9 +38,8 @@ def vif_frame(ref: np.ndarray, dis: np.ndarray) -> dict[str, float]:
     for k in range(NUM_SCALES):
         win = vif_window(k)
         if k > 0:
-            prev = vif_window(k - 1)
-            ref = _blur_same(ref, prev)[::2, ::2]
-            dis = _blur_same(dis, prev)[::2, ::2]
+            ref = _blur_same(ref, win)[::2, ::2]
+            dis = _blur_same(dis, win)[::2, ::2]
         mu1 = _blur_same(ref, win)
         mu2 = _blur_same(dis, win)
         s11 = np.maximum(_blur_same(ref * ref, win) - mu1 * mu1, 0.0)
