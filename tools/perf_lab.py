@@ -53,6 +53,88 @@ def main() -> int:
         print(f"{name}: {dt*1e3:.2f} ms", flush=True)
         return dt, out
 
+    if len(sys.argv) > 1 and sys.argv[1] == "v4":
+        # v4 padded-chain sweep: scale-0-only and full 6-scale pipeline per
+        # blur-engine config (W pass vpu|mxu3, matmul highest|bf16x3, newton).
+        from turbo_metrics_tpu.models.ssimulacra2 import (
+            ssimulacra2_subscores_from_padded,
+        )
+
+        p12 = jax.jit(
+            lambda a, b: ss.pad_to_layout4(jnp.stack([a, b]), H, W)
+        )(lin1, lin2)
+        jax.block_until_ready(p12)
+
+        base = None
+        for wp, prec, cbrt in [
+            ("vpu", "highest", "pow"),
+            ("vpu", "highest", "fastnr"),
+            ("mxu3", "highest", "fastnr"),
+            ("mxu3", "bf16x3", "fastnr"),
+        ]:
+            name = f"v4 w={wp} mm={prec} cbrt={cbrt}"
+            try:
+                f0 = jax.jit(
+                    lambda p, wp=wp, prec=prec, cbrt=cbrt: ss.fused_scale_pallas_v4(
+                        p, H, W, emit_ds=True, w_pass=wp, precision=prec,
+                        cbrt=cbrt,
+                    )[0]
+                )
+                _, sums = timeit(f"{name} scale0", f0, p12)
+                norms = np.asarray(ss.norms_from_sums(sums, H * W))
+                if base is None:
+                    base = norms
+                print(f"    scale0 norm err: {np.abs(norms - base).max():.2e}",
+                      flush=True)
+
+                ffull = jax.jit(
+                    lambda p, wp=wp, prec=prec, cbrt=cbrt: (
+                        ssimulacra2_subscores_from_padded(
+                            p, H, W, num_scales=6, w_pass=wp,
+                            precision=prec, cbrt=cbrt,
+                        )
+                    )
+                )
+                timeit(f"{name} 6-scale", ffull, p12, iters=20)
+            except Exception as e:
+                print(f"    FAILED: {type(e).__name__}: {str(e)[:300]}",
+                      flush=True)
+        return 0
+
+    if len(sys.argv) > 1 and sys.argv[1] == "v4tiles":
+        # Tile-geometry sweep for the v4 padded chain (default blur engine).
+        from turbo_metrics_tpu.models.ssimulacra2 import (
+            ssimulacra2_subscores_from_padded,
+        )
+
+        base = None
+        for th4, tw4 in [
+            (64, 1024), (72, 1024), (120, 1024), (128, 1024),
+            (120, 2048), (64, 2048), (40, 1024), (56, 1024),
+        ]:
+            ss.TILE_H4, ss.TILE_W4 = th4, tw4
+            try:
+                p12 = jax.jit(
+                    lambda a, b: ss.pad_to_layout4(jnp.stack([a, b]), H, W)
+                )(lin1, lin2)
+                jax.block_until_ready(p12)
+                ffull = jax.jit(
+                    lambda p: ssimulacra2_subscores_from_padded(
+                        p, H, W, num_scales=6
+                    )
+                )
+                _, norms = timeit(f"v4 tiles {th4}x{tw4} 6-scale", ffull, p12,
+                                  iters=20)
+                norms = np.asarray(norms)
+                if base is None:
+                    base = norms
+                print(f"    norm err: {np.abs(norms - base).max():.2e}",
+                      flush=True)
+            except Exception as e:
+                print(f"    FAILED: {type(e).__name__}: {str(e)[:300]}",
+                      flush=True)
+        return 0
+
     # Reference: current v2 kernel and jnp-path norms for numeric check.
     f_v2 = jax.jit(lambda a, b: ss.fused_scale_pallas(a, b)[0])
     _, sums_v2 = timeit("v2 current (serial DMA, vpu/vpu)", f_v2, lin1, lin2)

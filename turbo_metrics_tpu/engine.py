@@ -84,6 +84,10 @@ class FrameScores:
     vmaf_vif_scale2: Optional[float] = None
     vmaf_vif_scale3: Optional[float] = None
     vmaf_adm: Optional[float] = None
+    vmaf_adm_scale0: Optional[float] = None
+    vmaf_adm_scale1: Optional[float] = None
+    vmaf_adm_scale2: Optional[float] = None
+    vmaf_adm_scale3: Optional[float] = None
 
     def to_dict(self) -> dict:
         return {k: v for k, v in self.__dict__.items() if v is not None}
@@ -115,6 +119,10 @@ class MetricsResults:
     vmaf_vif_scale2: Optional[MetricAggregate] = None
     vmaf_vif_scale3: Optional[MetricAggregate] = None
     vmaf_adm: Optional[MetricAggregate] = None
+    vmaf_adm_scale0: Optional[MetricAggregate] = None
+    vmaf_adm_scale1: Optional[MetricAggregate] = None
+    vmaf_adm_scale2: Optional[MetricAggregate] = None
+    vmaf_adm_scale3: Optional[MetricAggregate] = None
 
 
 METRIC_NAMES = (
@@ -122,6 +130,7 @@ METRIC_NAMES = (
     "vmaf", "vmaf_motion", "vmaf_vif",
     "vmaf_vif_scale0", "vmaf_vif_scale1", "vmaf_vif_scale2", "vmaf_vif_scale3",
     "vmaf_adm",
+    "vmaf_adm_scale0", "vmaf_adm_scale1", "vmaf_adm_scale2", "vmaf_adm_scale3",
 )
 
 
@@ -297,6 +306,7 @@ class _VmafFuser:
             "motion2": m2,
             "vif": s.vmaf_vif,
             **{f"vif_scale{k}": getattr(s, f"vmaf_vif_scale{k}") for k in range(4)},
+            **{f"adm_scale{k}": getattr(s, f"vmaf_adm_scale{k}") for k in range(4)},
         }
         s.vmaf = self.model.predict_one(feats)
 
@@ -609,7 +619,7 @@ class TurboMetrics:
 
             adm = adm_score(
                 np.asarray(out["adm_stats"]), self.height, self.width
-            )["adm2"]
+            )
             vs = vif_scores(np.asarray(out["vif_stats"]))
             sads = np.asarray(out["vmaf_sad_rows"], dtype=np.int64).sum(axis=-1)
             self._vmaf_prev_blur = np.asarray(out["vmaf_last_blur"])[-1]
@@ -619,7 +629,13 @@ class TurboMetrics:
                     setattr(
                         scores[i], f"vmaf_vif_scale{k}", float(vs[f"vif_scale{k}"][i])
                     )
-                scores[i].vmaf_adm = float(adm[i])
+                scores[i].vmaf_adm = float(adm["adm2"][i])
+                for k in range(4):
+                    setattr(
+                        scores[i],
+                        f"vmaf_adm_scale{k}",
+                        float(adm[f"adm_scale{k}"][i]),
+                    )
                 scores[i].vmaf_motion = motion_score(
                     int(sads[i]), self.width, self.height, depth=f_ref.depth
                 )

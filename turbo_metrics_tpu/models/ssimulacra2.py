@@ -170,6 +170,7 @@ def ssimulacra2_subscores_from_padded(
     *,
     num_scales: int,
     interpret: bool = False,
+    **kernel_kwargs,
 ) -> jax.Array:
     """v4 padded-chain sub-scores from a producer-written (2, B, 3, hp, wp)
     buffer (ops/pallas/convert.yuv420_to_linear_rgb_padded) — the zero-copy
@@ -183,7 +184,8 @@ def ssimulacra2_subscores_from_padded(
     per_scale = []
     for s in range(num_scales):
         sums, ds12 = fused_scale_pallas_v4(
-            p12, h, w, emit_ds=s < num_scales - 1, interpret=interpret
+            p12, h, w, emit_ds=s < num_scales - 1, interpret=interpret,
+            **kernel_kwargs,
         )
         per_scale.append(norms_from_sums(sums, h * w))
         if s < num_scales - 1:

@@ -46,6 +46,10 @@ import numpy as np
 # Canonical feature keys produced by the engine.
 CANONICAL = (
     "adm2",
+    "adm_scale0",
+    "adm_scale1",
+    "adm_scale2",
+    "adm_scale3",
     "motion",
     "motion2",
     "vif_scale0",
@@ -56,6 +60,10 @@ CANONICAL = (
 )
 
 _NAME_PATTERNS = [
+    (re.compile(r"adm_scale0"), "adm_scale0"),
+    (re.compile(r"adm_scale1"), "adm_scale1"),
+    (re.compile(r"adm_scale2"), "adm_scale2"),
+    (re.compile(r"adm_scale3"), "adm_scale3"),
     (re.compile(r"adm2|adm(?!\w)"), "adm2"),
     (re.compile(r"motion2"), "motion2"),
     (re.compile(r"motion(?!2)"), "motion"),

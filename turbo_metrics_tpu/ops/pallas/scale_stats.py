@@ -24,7 +24,12 @@ tools/perf_lab.py and the regression tests):
     layout (pad_geom4) shared with the producers, and the exact MXU
     downscale emitting the NEXT level's padded input in-kernel
     (zero-aliased output buffer).  No jnp.pad or slice copies anywhere in
-    the scale loop.
+    the scale loop.  Default blur engine: BOTH separable passes as banded
+    matmuls on the MXU — the W pass chunked over 128-aligned windows so a
+    single chunk-invariant band matrix serves every chunk with zero lane
+    rotations — using a manual 3-pass bf16 split (hi/lo) per operand, the
+    Precision.HIGH decomposition Mosaic lacks (~1e-6 rel, measured 1.6e-6
+    at norm level; 'highest'/'vpu' remain for exact-mode validation).
 
 Alignment rules (Mosaic): DMA slices tile to (8, 128) in the last two dims,
 so the zero halo (R = 5) is embedded in aligned padding and tiles read with
@@ -864,6 +869,75 @@ def pad_to_layout4(lin: jax.Array, h: int, w: int) -> jax.Array:
     )
 
 
+# -- manual 3-pass bf16 matmuls (Precision.HIGH, which Mosaic lacks) ---------
+#
+# Split x = hi + lo with hi = bf16(x), lo = bf16(x - hi); then
+# x @ W = hi@Whi + lo@Whi + hi@Wlo + O(2^-16) — three bf16 MXU passes at
+# full bf16 rate instead of HIGHEST's six, ~1e-6 relative error (the same
+# magnitude as the kernel's pow-based cube root).
+
+_W_CHUNK = 128  # output columns per W-pass matmul chunk
+_W_WIN = COL_HALO4 + 2 * _W_CHUNK  # 128-aligned input window per chunk
+
+
+def _split_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split_bf16_np(m: np.ndarray) -> np.ndarray:
+    """(2, ...) bf16 hi/lo split of a host matrix (via float32 round trip)."""
+    import ml_dtypes
+
+    hi = m.astype(ml_dtypes.bfloat16)
+    lo = (m - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.stack([hi, lo])
+
+
+def _dot3(xhi, xlo, whi, wlo, dims):
+    acc = jax.lax.dot_general(
+        xhi, whi, (dims, ((), ())), preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        xlo, whi, (dims, ((), ())), preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        xhi, wlo, (dims, ((), ())), preferred_element_type=jnp.float32
+    )
+    return acc
+
+
+# Seed constant for the division-free cube root: bitcast exponent trick for
+# w ~= v^(-1/3), optimized over the opsin-mix input range (max seed error
+# 3.4%); three quadratic Newton iterations (all multiplies) reach f32
+# rounding (max 4.3e-7 relative — the same magnitude as pow + one Newton
+# step, with no transcendentals and no divides on the VPU).
+_CBRT_MAGIC = np.float32(1419915940.0)  # 0x54a232a4
+
+
+def _cbrt_fast(v: jax.Array) -> jax.Array:
+    """cbrt(v) for v > 0 via inverse-cube-root Newton (division-free)."""
+    i = jax.lax.bitcast_convert_type(v, jnp.int32).astype(jnp.float32)
+    j = _CBRT_MAGIC - i * np.float32(1.0 / 3.0)
+    w = jax.lax.bitcast_convert_type(j.astype(jnp.int32), jnp.float32)
+    v3 = v * np.float32(1.0 / 3.0)
+    for _ in range(3):
+        w = w * (np.float32(4.0 / 3.0) - v3 * (w * w * w))
+    return v * w * w
+
+
+def _band_matrix_wchunk(taps) -> np.ndarray:
+    """(W_WIN, 128) band matrix; the same matrix serves every 128-aligned
+    W-pass chunk: chunk j consumes padded cols [128j, 128j + W_WIN) and
+    yields blurred cols [128j, 128(j+1)) of the tile interior."""
+    m = np.zeros((_W_WIN, _W_CHUNK), np.float32)
+    c = np.arange(_W_CHUNK)
+    for k, t in enumerate(taps):
+        m[COL_HALO4 - RADIUS + c + k, c] = np.float32(t)
+    return m
+
+
 def _fused_scale_kernel_v4(
     *refs,
     h: int,
@@ -879,13 +953,23 @@ def _fused_scale_kernel_v4(
     h_odd: bool,
     w_odd: bool,
     newton: bool,
+    w_pass: str,
+    cbrt: str,
 ):
-    """One pyramid level: XYB + 4-blur (W on VPU, H on MXU) + maps + sums,
-    plus (emit_ds) the exact 2x2-mean downscale of the linear tile written
-    straight into the next level's padded buffer."""
+    """One pyramid level: XYB + 4-blur + maps + sums, plus (emit_ds) the
+    exact 2x2-mean downscale of the linear tile written straight into the
+    next level's padded buffer.
+
+    Blur passes: H is a banded matmul on the MXU (precision 'highest' =
+    f32-exact 6-pass, 'bf16x3' = manual 3-pass split, ~1e-6 rel).  W is
+    either 11 lane-rotated FMA sweeps on the VPU ('vpu') or, with 'mxu3',
+    128-aligned chunked banded matmuls on the MXU using the same manual
+    3-pass split — no lane rotations at all, and the W-pass work moves to
+    the otherwise idle MXU."""
     it = iter(refs)
     lin12_hbm = next(it)  # (2, B, 3, hp, wp): ref and dis stacked
     hmat = next(it)
+    wmat = next(it) if w_pass == "mxu3" else None  # (2, W_WIN, 128) bf16
     if emit_ds:
         _z = next(it)  # zeros-aliased ds buffer (consumed via the output)
     out_ref = next(it)
@@ -902,7 +986,7 @@ def _fused_scale_kernel_v4(
     r = RADIUS
     rows = tile_h + 2 * ROW_HALO4
     cols = tile_w + 2 * COL_HALO4
-    prec = _PRECISIONS[precision]
+    prec = _PRECISIONS.get(precision)
 
     # Double-buffered input DMA across grid steps.
     nsteps = bsz * nth * ntw
@@ -1028,6 +1112,8 @@ def _fused_scale_kernel_v4(
         third = np.float32(1.0 / 3.0)
         v = m[row, 0] * t[0] + m[row, 1] * t[1] + m[row, 2] * t[2] + bias
         v = jnp.maximum(v, 0.0)
+        if cbrt == "fastnr":
+            return _cbrt_fast(v) - root
         y0 = jnp.power(v, third)
         if newton:
             y0 = (np.float32(2.0) * y0 + v / (y0 * y0)) * third
@@ -1049,7 +1135,22 @@ def _fused_scale_kernel_v4(
     tp = [jnp.float32(v) for v in taps]
 
     def blur(q):
-        qw = _blur_w(q, tp, COL_HALO4 - r, tile_w)
+        if w_pass == "mxu3":
+            qhi, qlo = _split_bf16(q)
+            wm_hi = wmat[0]
+            wm_lo = wmat[1]
+            chunks = []
+            for j in range(tile_w // _W_CHUNK):
+                s = j * _W_CHUNK
+                xh = jax.lax.slice(qhi, (0, s), (rows, s + _W_WIN))
+                xl = jax.lax.slice(qlo, (0, s), (rows, s + _W_WIN))
+                chunks.append(_dot3(xh, xl, wm_hi, wm_lo, ((1,), (0,))))
+            qw = jnp.concatenate(chunks, axis=-1)
+        else:
+            qw = _blur_w(q, tp, COL_HALO4 - r, tile_w)
+        if precision == "bf16x3":
+            qwhi, qwlo = _split_bf16(qw)
+            return _dot3(hmat[0], hmat[1], qwhi, qwlo, ((1,), (0,)))
         return jax.lax.dot_general(
             hmat[...], qw,
             (((1,), (0,)), ((), ())),
@@ -1119,6 +1220,8 @@ def fused_scale_pallas_v4(
     emit_ds: bool,
     precision: str = "highest",
     newton: bool = True,
+    w_pass: str = "vpu",
+    cbrt: str = "fastnr",
     interpret: bool = False,
 ):
     """One padded-chain pyramid level.
@@ -1142,14 +1245,22 @@ def fused_scale_pallas_v4(
     cols = tile_w + 2 * COL_HALO4
     taps = tuple(float(v) for v in gaussian_taps())
 
-    inputs = [
-        lin12_padded,
-        jnp.asarray(_band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)),
-    ]
-    in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)),
-    ]
+    hmat = _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)
+    inputs = [lin12_padded]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if precision == "bf16x3":
+        inputs.append(jnp.asarray(_split_bf16_np(hmat)))
+        in_specs.append(
+            pl.BlockSpec((2, tile_h, rows), lambda p, th, tw: (0, 0, 0))
+        )
+    else:
+        inputs.append(jnp.asarray(hmat))
+        in_specs.append(pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)))
+    if w_pass == "mxu3":
+        inputs.append(jnp.asarray(_split_bf16_np(_band_matrix_wchunk(taps))))
+        in_specs.append(
+            pl.BlockSpec((2, _W_WIN, _W_CHUNK), lambda p, th, tw: (0, 0, 0))
+        )
     out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
     out_specs = [
         pl.BlockSpec(
@@ -1182,7 +1293,7 @@ def fused_scale_pallas_v4(
             jax.ShapeDtypeStruct((2, bsz, 3, hp2, wp2), jnp.float32)
         )
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        aliases = {2: 1}
+        aliases = {len(inputs) - 1: 1}
         scratch += [
             pltpu.VMEM((6, dh_p, dw_p), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -1203,6 +1314,8 @@ def fused_scale_pallas_v4(
         h_odd=bool(h % 2) if emit_ds else False,
         w_odd=bool(w % 2) if emit_ds else False,
         newton=newton,
+        w_pass=w_pass,
+        cbrt=cbrt,
     )
     outs = pl.pallas_call(
         kernel,

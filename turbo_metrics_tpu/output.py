@@ -25,6 +25,7 @@ METRIC_ORDER = (
     "vmaf", "vmaf_motion", "vmaf_vif",
     "vmaf_vif_scale0", "vmaf_vif_scale1", "vmaf_vif_scale2", "vmaf_vif_scale3",
     "vmaf_adm",
+    "vmaf_adm_scale0", "vmaf_adm_scale1", "vmaf_adm_scale2", "vmaf_adm_scale3",
 )
 
 
