@@ -1234,6 +1234,14 @@ def fused_scale_pallas_v4(
     two, bsz = lin12_padded.shape[0], lin12_padded.shape[1]
     assert two == 2
     tile_h, tile_w, nth, ntw, hp, wp = pad_geom4(h, w)
+    # With multiple row tiles, the (8-aligned) downscale staging tile of one
+    # tile must not overlap the next tile's destination rows: tile_h//2 must
+    # itself be 8-aligned.  (Caught by the v4tiles sweep: odd tile heights
+    # zero 4 rows per boundary at the next level.)
+    assert not (emit_ds and nth > 1 and tile_h % 16), (
+        f"tile_h={tile_h} must be a multiple of 16 when emitting the next "
+        "level from a multi-row-tile grid"
+    )
     # Producers may allocate larger than this level's own geometry (their
     # tile grid can write past our interior; the slack is zero + masked).
     assert (
