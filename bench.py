@@ -58,28 +58,49 @@ def main() -> int:
 
     on_tpu = jax.default_backend() == "tpu"
 
-    def step(y_ref, uv_ref, y_dis, uv_dis):
-        if on_tpu:
-            # Zero-copy padded chain: conversion writes the megakernel's
-            # padded layout directly; each level emits the next level's
-            # input in-kernel.
-            from turbo_metrics_tpu.models.ssimulacra2 import (
-                ssimulacra2_subscores_from_padded,
-            )
-            from turbo_metrics_tpu.ops.pallas.convert import (
-                yuv420_to_linear_rgb_padded,
-            )
+    if on_tpu:
+        # Zero-copy padded chain: conversion writes the megakernel's padded
+        # layout directly; each level emits the next level's input
+        # in-kernel.  The padded buffer is allocated once and THREADED
+        # through the steps (donated), so its 200+ MB never get re-zeroed —
+        # only the interior is rewritten and the halos stay zero.
+        from turbo_metrics_tpu.models.ssimulacra2 import (
+            ssimulacra2_subscores_from_padded,
+        )
+        from turbo_metrics_tpu.ops.pallas.convert import (
+            yuv420_to_linear_rgb_padded,
+        )
+        from turbo_metrics_tpu.ops.pallas.scale_stats import pad_geom4
 
-            p12 = yuv420_to_linear_rgb_padded(y_ref, uv_ref, None, 0)
+        def step(y_ref, uv_ref, y_dis, uv_dis, buf):
+            p12 = yuv420_to_linear_rgb_padded(y_ref, uv_ref, buf, 0)
             p12 = yuv420_to_linear_rgb_padded(y_dis, uv_dis, p12, 1)
-            return ssimulacra2_subscores_from_padded(
+            sub = ssimulacra2_subscores_from_padded(
                 p12, H, W, num_scales=num_scales
             )
-        lin_ref = colorspace.yuv420_to_linear_rgb(y_ref, uv_ref)
-        lin_dis = colorspace.yuv420_to_linear_rgb(y_dis, uv_dis)
-        return ssimulacra2_subscores(lin_ref, lin_dis, num_scales=num_scales)
+            return sub, p12
 
-    fn = jax.jit(step)
+        fn_buf = jax.jit(step, donate_argnums=(4,))
+        _, _, _, _, hp, wp = pad_geom4(H, W)
+        buf0 = jnp.zeros((2, batch, 3, hp, wp), jnp.float32)
+
+        def make_fn():
+            state = {"buf": buf0}
+
+            def run(y_ref, uv_ref, y_dis, uv_dis):
+                sub, state["buf"] = fn_buf(y_ref, uv_ref, y_dis, uv_dis, state["buf"])
+                return sub
+
+            return run
+
+        fn = make_fn()
+    else:
+        def step(y_ref, uv_ref, y_dis, uv_dis):
+            lin_ref = colorspace.yuv420_to_linear_rgb(y_ref, uv_ref)
+            lin_dis = colorspace.yuv420_to_linear_rgb(y_dis, uv_dis)
+            return ssimulacra2_subscores(lin_ref, lin_dis, num_scales=num_scales)
+
+        fn = jax.jit(step)
     stack = jax.jit(lambda xs: jnp.stack(xs))
 
     rng = np.random.default_rng(0)

@@ -28,6 +28,18 @@ def _xpsnr_engine(w, h, batch):
     return compute
 
 
+def test_reference_micro_case():
+    """The reference's own numeric micro-test (xpsnr-cuda/src/lib.rs:206-231):
+    4x4 all-16 ref vs all-14 dis, all-16 prev -> SSE 16*(16-14)^2 = 64,
+    temporal activity 0, spatial activity 0 (flat)."""
+    ref = np.full((1, 4, 4), 16, np.uint8)
+    dis = np.full((1, 4, 4), 14, np.uint8)
+    stats = jax.jit(xpsnr_block_stats)(ref, dis, ref)
+    assert int(np.asarray(stats["sse"]).sum()) == 64
+    assert int(np.asarray(stats["tact"]).sum()) == 0
+    assert int(np.asarray(stats["sact"]).sum()) == 0
+
+
 def test_block_stats_match_oracle(rng):
     h, w = 52, 70  # partial edge blocks
     ref = rng.integers(0, 256, (h, w), dtype=np.uint8)

@@ -25,8 +25,11 @@ TILE_H = 256  # multiple of 16 (chroma tile rows stay 8-aligned)
 TILE_W = 512  # multiple of 256 (chroma tile lanes stay 128-aligned)
 
 _EOTFS = {
-    "bt709": colorspace.bt709_eotf,
-    "srgb": colorspace.srgb_eotf,
+    # bt709/srgb use the division/transcendental-free pow decompositions
+    # (<=7e-7 relative vs the pow forms — see colorspace._pow_x2_xn2); the
+    # pow-based EOTFs remain the jnp-path/oracle definitions.
+    "bt709": colorspace.bt709_eotf_fast,
+    "srgb": colorspace.srgb_eotf_fast,
     "pq": colorspace.pq_eotf,
     "hlg": colorspace.hlg_eotf,
     "linear": lambda v: v,
@@ -172,7 +175,7 @@ def _convert_padded_kernel(
     _zeros,
     out_ref,
     rgb_scratch,
-    sem,
+    sems,
     *,
     coeffs: tuple,
     minimum: float,
@@ -181,11 +184,33 @@ def _convert_padded_kernel(
     h: int,
     w: int,
     img_idx: int,
+    nth: int,
+    ntw: int,
+    bsz: int,
 ):
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     tile_h, tile_w = PAD_TILE_H, PAD_TILE_W
+    nsteps = bsz * nth * ntw
+    step = (b * nth + ti) * ntw + tj
+    slot = jax.lax.rem(step, 2)
+
+    def store_dma(idx, slot_):
+        b_i = idx // (nth * ntw)
+        rem = idx % (nth * ntw)
+        dst_r = pl.multiple_of(8 + (rem // ntw) * tile_h, 8)
+        dst_c = pl.multiple_of(128 + (rem % ntw) * tile_w, 128)
+        return pltpu.make_async_copy(
+            rgb_scratch.at[slot_],
+            out_ref.at[img_idx, b_i, :, pl.ds(dst_r, tile_h), pl.ds(dst_c, tile_w)],
+            sems.at[slot_],
+        )
+
+    # Wait for the store issued two steps ago before reusing its slot.
+    @pl.when(step >= 2)
+    def _():
+        store_dma(step - 2, slot).wait()
 
     y_coeff, r_coeff, b_coeff, g_coeff1, g_coeff2 = (jnp.float32(c) for c in coeffs)
     luma = (
@@ -196,26 +221,40 @@ def _convert_padded_kernel(
     cr = v_ref[0].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
 
     dh, dw = tile_h // 2, tile_w // 2
+    # Exact nearest-neighbour 2x upsample on the MXU: the 0/1 replication
+    # matrices are exactly representable in bf16, and each output element
+    # selects exactly ONE input element, so a 3-limb bf16 split of the input
+    # (hi/mid/lo — an exact decomposition of f32) upsampled limb-by-limb and
+    # re-summed in f32 is bit-exact at half the passes of a HIGHEST matmul.
     up_rows = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, dh), dimension=0) // 2
         == jax.lax.broadcasted_iota(jnp.int32, (tile_h, dh), dimension=1)
-    ).astype(jnp.float32)
+    ).astype(jnp.bfloat16)
     up_cols = (
         jax.lax.broadcasted_iota(jnp.int32, (dw, tile_w), dimension=0)
         == jax.lax.broadcasted_iota(jnp.int32, (dw, tile_w), dimension=1) // 2
-    ).astype(jnp.float32)
+    ).astype(jnp.bfloat16)
+
+    def limbs(x):
+        hi = x.astype(jnp.bfloat16)
+        r1 = x - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, mid, lo
 
     def up(c):
-        c = jnp.dot(
-            up_rows, c,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return jnp.dot(
-            c, up_cols,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        acc = None
+        for limb in limbs(c):
+            t = jax.lax.dot_general(
+                up_rows, limb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            t = jax.lax.dot_general(
+                t.astype(jnp.bfloat16), up_cols, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = t if acc is None else acc + t
+        return acc
 
     r_ = up(r_coeff * cr)
     g_ = up(g_coeff1 * cb + g_coeff2 * cr)
@@ -229,19 +268,19 @@ def _convert_padded_kernel(
     ).astype(jnp.float32)
 
     eotf = _EOTFS[transfer]
-    rgb_scratch[0] = jnp.clip(eotf(luma + r_), 0.0, 1.0) * mask
-    rgb_scratch[1] = jnp.clip(eotf(luma + g_), 0.0, 1.0) * mask
-    rgb_scratch[2] = jnp.clip(eotf(luma + b_), 0.0, 1.0) * mask
+    rgb_scratch[slot, 0] = jnp.clip(eotf(luma + r_), 0.0, 1.0) * mask
+    rgb_scratch[slot, 1] = jnp.clip(eotf(luma + g_), 0.0, 1.0) * mask
+    rgb_scratch[slot, 2] = jnp.clip(eotf(luma + b_), 0.0, 1.0) * mask
 
-    dst_r = pl.multiple_of(8 + ti * tile_h, 8)
-    dst_c = pl.multiple_of(128 + tj * tile_w, 128)
-    cp = pltpu.make_async_copy(
-        rgb_scratch,
-        out_ref.at[img_idx, b, :, pl.ds(dst_r, tile_h), pl.ds(dst_c, tile_w)],
-        sem,
-    )
-    cp.start()
-    cp.wait()
+    store_dma(step, slot).start()
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        store_dma(step, slot).wait()
+
+        @pl.when(nsteps >= 2)
+        def _():
+            store_dma(step - 1, jax.lax.rem(step - 1, 2)).wait()
 
 
 def yuv420_to_linear_rgb_padded(
@@ -309,6 +348,9 @@ def yuv420_to_linear_rgb_padded(
         h=h,
         w=w,
         img_idx=img_idx,
+        nth=nth,
+        ntw=ntw,
+        bsz=bsz,
     )
     out = pl.pallas_call(
         kernel,
@@ -322,8 +364,8 @@ def yuv420_to_linear_rgb_padded(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(out_or_none.shape, jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, tile_h, tile_w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 3, tile_h, tile_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={3: 0},
         interpret=interpret,

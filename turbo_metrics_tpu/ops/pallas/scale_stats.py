@@ -1146,17 +1146,29 @@ def _fused_scale_kernel_v4(
                 xl = jax.lax.slice(qlo, (0, s), (rows, s + _W_WIN))
                 chunks.append(_dot3(xh, xl, wm_hi, wm_lo, ((1,), (0,))))
             qw = jnp.concatenate(chunks, axis=-1)
-        else:
-            qw = _blur_w(q, tp, COL_HALO4 - r, tile_w)
+            if precision == "bf16x3":
+                qwhi, qwlo = _split_bf16(qw)
+                return _dot3(hmat[0], hmat[1], qwhi, qwlo, ((1,), (0,)))
+            return jax.lax.dot_general(
+                hmat[...], qw,
+                (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+        # H pass FIRST on the MXU: the VPU's 11 lane-rotated W sweeps then
+        # run on tile_h rows instead of tile_h + 2*halo (-20% of the
+        # kernel's dominant VPU cost); the extra MXU columns stay hidden.
         if precision == "bf16x3":
-            qwhi, qwlo = _split_bf16(qw)
-            return _dot3(hmat[0], hmat[1], qwhi, qwlo, ((1,), (0,)))
-        return jax.lax.dot_general(
-            hmat[...], qw,
-            (((1,), (0,)), ((), ())),
-            precision=prec,
-            preferred_element_type=jnp.float32,
-        )
+            qhi, qlo = _split_bf16(q)
+            qh = _dot3(hmat[0], hmat[1], qhi, qlo, ((1,), (0,)))
+        else:
+            qh = jax.lax.dot_general(
+                hmat[...], q,
+                (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+        return _blur_w(qh, tp, COL_HALO4 - r, tile_w)
 
     out_ref[...] = jnp.zeros_like(out_ref)
     one = jnp.float32(1.0)
