@@ -397,13 +397,16 @@ class TurboMetrics:
                 or metrics.xpsnr
                 or metrics.vmaf
             )
+            from turbo_metrics_tpu.ops.pallas.convert import (
+                padded_conversion_fits,
+            )
+
             if (
                 only_s2
                 and spec_ref.kind == "yuv420"
                 and spec_dis.kind == "yuv420"
                 and jax.default_backend() == "tpu"
-                and self.height > 56
-                and self.width > 896
+                and padded_conversion_fits(self.height, self.width)
             ):
                 # Zero-copy fast path: conversion writes the padded-chain
                 # layout directly, each pyramid level emits the next level's

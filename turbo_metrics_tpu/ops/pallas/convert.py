@@ -36,6 +36,43 @@ _EOTFS = {
 }
 
 
+def _up_matrices(tile_h: int, tile_w: int):
+    """0/1 nearest-neighbour 2x replication matrices (exact in bf16)."""
+    dh, dw = tile_h // 2, tile_w // 2
+    up_rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, dh), dimension=0) // 2
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, dh), dimension=1)
+    ).astype(jnp.bfloat16)
+    up_cols = (
+        jax.lax.broadcasted_iota(jnp.int32, (dw, tile_w), dimension=0)
+        == jax.lax.broadcasted_iota(jnp.int32, (dw, tile_w), dimension=1) // 2
+    ).astype(jnp.bfloat16)
+    return up_rows, up_cols
+
+
+def _up_exact(c: jax.Array, up_rows: jax.Array, up_cols: jax.Array) -> jax.Array:
+    """Exact 2x upsample on the MXU: each output selects ONE input, the 0/1
+    matrices are exact in bf16, and the 3-limb hi/mid/lo bf16 split is an
+    exact decomposition of f32 that re-sums exactly — bit-exact replication
+    at half the passes of a HIGHEST matmul."""
+    hi = c.astype(jnp.bfloat16)
+    r1 = c - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = None
+    for limb in (hi, mid, lo):
+        t = jax.lax.dot_general(
+            up_rows, limb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t = jax.lax.dot_general(
+            t.astype(jnp.bfloat16), up_cols, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def _convert_kernel(
     y_ref,
     u_ref,
@@ -59,32 +96,10 @@ def _convert_kernel(
     cr = v_ref[0].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
 
     # Nearest-neighbour 2x upsample via exact 0/1 replication matrices.
-    dh, dw = tile_h // 2, tile_w // 2
-    up_rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, dh), dimension=0) // 2
-        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, dh), dimension=1)
-    ).astype(jnp.float32)
-    up_cols = (
-        jax.lax.broadcasted_iota(jnp.int32, (dw, tile_w), dimension=0)
-        == jax.lax.broadcasted_iota(jnp.int32, (dw, tile_w), dimension=1) // 2
-    ).astype(jnp.float32)
-
-    def up(c):
-        # HIGHEST precision: default TPU matmuls round inputs to bf16.
-        c = jnp.dot(
-            up_rows, c,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return jnp.dot(
-            c, up_cols,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    r_ = up(r_coeff * cr)
-    g_ = up(g_coeff1 * cb + g_coeff2 * cr)
-    b_ = up(b_coeff * cb)
+    up_rows, up_cols = _up_matrices(tile_h, tile_w)
+    r_ = _up_exact(r_coeff * cr, up_rows, up_cols)
+    g_ = _up_exact(g_coeff1 * cb + g_coeff2 * cr, up_rows, up_cols)
+    b_ = _up_exact(b_coeff * cb, up_rows, up_cols)
 
     eotf = _EOTFS[transfer]
     out_ref[0, 0] = jnp.clip(eotf(luma + r_), 0.0, 1.0)
@@ -164,8 +179,37 @@ def _round_up(x: int, m: int) -> int:
 # Conversion straight into the v4 padded-chain layout (no pad/slice copies)
 # ---------------------------------------------------------------------------
 
-PAD_TILE_H = 64  # matches the megakernel's row tiling exactly
-PAD_TILE_W = 512  # divides the megakernel's column tiling
+# Candidate producer tile sizes, best (largest measured-fastest) first; the
+# wrapper picks the first whose grid fits inside the consumer's padded
+# layout (pad_geom4).  Heights are multiples of 16 (chroma blocks stay
+# 8-row aligned), widths multiples of 256 (chroma blocks stay 128-lane
+# aligned).
+PAD_TILE_H_CANDIDATES = (272, 128, 64, 32, 16)
+PAD_TILE_W_CANDIDATES = (512, 256)
+
+
+def _pick_pad_tiles(h: int, w: int) -> tuple[int, int] | None:
+    """(tile_h, tile_w) of the padded producer for an (h, w) image, or None
+    if no candidate grid fits the pad_geom4 layout (tiny images)."""
+    from turbo_metrics_tpu.ops.pallas.scale_stats import pad_geom4
+
+    _, _, _, _, hp, wp = pad_geom4(h, w)
+    tile_h = next(
+        (t for t in PAD_TILE_H_CANDIDATES if 8 + -(-h // t) * t <= hp - 8),
+        None,
+    )
+    tile_w = next(
+        (t for t in PAD_TILE_W_CANDIDATES if 128 + -(-w // t) * t <= wp - 128),
+        None,
+    )
+    if tile_h is None or tile_w is None:
+        return None
+    return tile_h, tile_w
+
+
+def padded_conversion_fits(h: int, w: int) -> bool:
+    """Whether yuv420_to_linear_rgb_padded supports this image size."""
+    return _pick_pad_tiles(h, w) is not None
 
 
 def _convert_padded_kernel(
@@ -187,11 +231,12 @@ def _convert_padded_kernel(
     nth: int,
     ntw: int,
     bsz: int,
+    tile_h: int,
+    tile_w: int,
 ):
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
-    tile_h, tile_w = PAD_TILE_H, PAD_TILE_W
     nsteps = bsz * nth * ntw
     step = (b * nth + ti) * ntw + tj
     slot = jax.lax.rem(step, 2)
@@ -220,45 +265,10 @@ def _convert_padded_kernel(
     cb = u_ref[0].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
     cr = v_ref[0].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
 
-    dh, dw = tile_h // 2, tile_w // 2
-    # Exact nearest-neighbour 2x upsample on the MXU: the 0/1 replication
-    # matrices are exactly representable in bf16, and each output element
-    # selects exactly ONE input element, so a 3-limb bf16 split of the input
-    # (hi/mid/lo — an exact decomposition of f32) upsampled limb-by-limb and
-    # re-summed in f32 is bit-exact at half the passes of a HIGHEST matmul.
-    up_rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, dh), dimension=0) // 2
-        == jax.lax.broadcasted_iota(jnp.int32, (tile_h, dh), dimension=1)
-    ).astype(jnp.bfloat16)
-    up_cols = (
-        jax.lax.broadcasted_iota(jnp.int32, (dw, tile_w), dimension=0)
-        == jax.lax.broadcasted_iota(jnp.int32, (dw, tile_w), dimension=1) // 2
-    ).astype(jnp.bfloat16)
-
-    def limbs(x):
-        hi = x.astype(jnp.bfloat16)
-        r1 = x - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        return hi, mid, lo
-
-    def up(c):
-        acc = None
-        for limb in limbs(c):
-            t = jax.lax.dot_general(
-                up_rows, limb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            t = jax.lax.dot_general(
-                t.astype(jnp.bfloat16), up_cols, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = t if acc is None else acc + t
-        return acc
-
-    r_ = up(r_coeff * cr)
-    g_ = up(g_coeff1 * cb + g_coeff2 * cr)
-    b_ = up(b_coeff * cb)
+    up_rows, up_cols = _up_matrices(tile_h, tile_w)
+    r_ = _up_exact(r_coeff * cr, up_rows, up_cols)
+    g_ = _up_exact(g_coeff1 * cb + g_coeff2 * cr, up_rows, up_cols)
+    b_ = _up_exact(b_coeff * cb, up_rows, up_cols)
 
     # Zero beyond the image so the consumer's halo reads stay exact.
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -314,21 +324,21 @@ def yuv420_to_linear_rgb_padded(
         -2.0 * (1.0 - kr) * kr / kg / rng.chroma_range,
     )
 
-    tile_h, tile_w = PAD_TILE_H, PAD_TILE_W
+    # Tile choice: largest candidate grid that does not write past the
+    # megakernel's interior (regions it never writes stay zero from the
+    # buffer, which is what the consumer's mask expects anyway).  Images too
+    # small for any grid use the general conversion + pad_to_layout4
+    # fallback.
+    tiles = _pick_pad_tiles(h, w)
+    if tiles is None:
+        raise ValueError(
+            f"no padded conversion grid fits a {h}x{w} image; "
+            "use the general path"
+        )
+    tile_h, tile_w = tiles
     nth = -(-h // tile_h)
     ntw = -(-w // tile_w)
-    # Coverage constraint: this kernel's (64, 512) grid must not write past
-    # the megakernel's interior.  That holds exactly when the megakernel is
-    # at its full tile sizes (row tiling 64, column tiling 1024, of which
-    # 512 is a divisor) — i.e. for images larger than (56, 896).  Smaller
-    # inputs use the general conversion + pad_to_layout4 fallback.
-    mt_h, mt_w, mnth, mntw, hp, wp = pad_geom4(h, w)
-    if mt_h != PAD_TILE_H or mt_w % PAD_TILE_W != 0:
-        raise ValueError(
-            f"padded conversion needs full megakernel tiles (image {h}x{w} "
-            f"tiles as {mt_h}x{mt_w}); use the general path"
-        )
-    assert 8 + nth * tile_h <= hp - 8 and 128 + ntw * tile_w <= wp - 128
+    _, _, _, _, hp, wp = pad_geom4(h, w)
 
     ht, wt = nth * tile_h, ntw * tile_w
     ch, cw = (h + 1) // 2, (w + 1) // 2
@@ -351,6 +361,8 @@ def yuv420_to_linear_rgb_padded(
         nth=nth,
         ntw=ntw,
         bsz=bsz,
+        tile_h=tile_h,
+        tile_w=tile_w,
     )
     out = pl.pallas_call(
         kernel,
