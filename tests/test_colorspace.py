@@ -118,3 +118,27 @@ def test_cli_color_override(tmp_path, rng, capsys):
     assert rc == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert json.loads(lines[0])["psnr"] > 1e6 or json.loads(lines[0])["psnr"] == float("inf")
+
+
+def test_fast_eotf_forms_match_pow():
+    """The division-free EOTF decompositions (used in the Pallas conversion
+    kernels) match the pow-based definitions to f32 rounding over a dense
+    sweep of the whole input domain, including both piecewise branches and
+    out-of-gamut excursions."""
+    import jax.numpy as jnp
+
+    from turbo_metrics_tpu.ops.colorspace import (
+        bt709_eotf,
+        bt709_eotf_fast,
+        srgb_eotf,
+        srgb_eotf_fast,
+    )
+
+    v = jnp.asarray(np.linspace(-0.2, 1.3, 200001, dtype=np.float32))
+    for exact, fast in ((bt709_eotf, bt709_eotf_fast), (srgb_eotf, srgb_eotf_fast)):
+        a = np.asarray(exact(v), dtype=np.float64)
+        b = np.asarray(fast(v), dtype=np.float64)
+        err = np.abs(a - b)
+        assert err.max() < 2e-6, (exact.__name__, err.max())
+        # branch threshold behaviour identical (lo branch is shared code)
+        assert np.array_equal(a < 0, b < 0)
