@@ -31,6 +31,12 @@ from turbo_metrics_tpu.models.ssimulacra2_score import postprocess_score
 
 NUM_SCALES = 6
 
+# Small pyramid levels are fixed-cost-bound (~0.8 ms/kernel regardless of
+# size); once a level's whole padded plane fits under this many VMEM bytes,
+# ALL remaining levels run in one fused tail kernel (scale_stats.
+# fused_tail_pallas).  0 disables the tail (per-level kernels only).
+TAIL_MAX_BYTES = 8 * 1024 * 1024
+
 
 def default_backend() -> str:
     """Fused Pallas padded-chain on TPU, plain jnp elsewhere (CPU tests)."""
@@ -68,25 +74,14 @@ def ssimulacra2_subscores(
         # per level that also writes the next level's padded input (exact
         # in-kernel MXU downscale) — no jnp.pad / slice copies and no
         # separate downscale kernels anywhere in the scale loop.
-        from turbo_metrics_tpu.ops.pallas.scale_stats import (
-            fused_scale_pallas_v4,
-            norms_from_sums,
-            pad_to_layout4,
-        )
+        from turbo_metrics_tpu.ops.pallas.scale_stats import pad_to_layout4
 
         interp = backend == "interpret3"
         h, w = lin_ref.shape[-2], lin_ref.shape[-1]
         p12 = pad_to_layout4(jnp.stack([lin_ref, lin_dis]), h, w)
-        per_scale = []
-        for s in range(num_scales):
-            sums, ds12 = fused_scale_pallas_v4(
-                p12, h, w, emit_ds=s < num_scales - 1, interpret=interp
-            )
-            per_scale.append(norms_from_sums(sums, h * w))
-            if s < num_scales - 1:
-                p12 = ds12
-                h, w = (h + 1) // 2, (w + 1) // 2
-        return jnp.stack(per_scale, axis=2)
+        return ssimulacra2_subscores_from_padded(
+            p12, h, w, num_scales=num_scales, interpret=interp
+        )
 
     if backend in ("pallas2", "interpret2"):
         # Fully fused path, one kernel per scale (ops/pallas/scale_stats.py
@@ -178,11 +173,25 @@ def ssimulacra2_subscores_from_padded(
     YUV planes and the final sums."""
     from turbo_metrics_tpu.ops.pallas.scale_stats import (
         fused_scale_pallas_v4,
+        fused_tail_pallas,
         norms_from_sums,
+        tail_plane_bytes,
     )
 
     per_scale = []
-    for s in range(num_scales):
+    s = 0
+    while s < num_scales:
+        remaining = num_scales - s
+        if remaining >= 2 and tail_plane_bytes(h, w) <= TAIL_MAX_BYTES:
+            dims = []
+            lh, lw = h, w
+            for _ in range(remaining):
+                dims.append((lh, lw))
+                lh, lw = (lh + 1) // 2, (lw + 1) // 2
+            tail = fused_tail_pallas(p12, dims, interpret=interpret)
+            for i, (lh, lw) in enumerate(dims):
+                per_scale.append(norms_from_sums(tail[:, i], lh * lw))
+            break
         sums, ds12 = fused_scale_pallas_v4(
             p12, h, w, emit_ds=s < num_scales - 1, interpret=interpret,
             **kernel_kwargs,
@@ -191,6 +200,7 @@ def ssimulacra2_subscores_from_padded(
         if s < num_scales - 1:
             p12 = ds12
             h, w = (h + 1) // 2, (w + 1) // 2
+        s += 1
     return jnp.stack(per_scale, axis=2)
 
 

@@ -1224,6 +1224,212 @@ def _fused_scale_kernel_v4(
         cp.wait()
 
 
+def _fused_tail_kernel(
+    p_hbm,
+    out_ref,
+    *scratch,
+    dims: tuple[tuple[int, int], ...],
+    planes: tuple[tuple[int, int], ...],
+    taps: tuple[float, ...],
+):
+    """All remaining small pyramid levels for ONE batch element, entirely in
+    VMEM.  ``p_hbm`` block: (2, 1, 3, ph0, pw0) — the first tail level's
+    padded plane (interior at (8, 128)).  For each level: XYB + 4-blur
+    (both passes VPU; these arrays are tiny) + maps + masked sums, then an
+    exact 2x2-mean downscale into the next level's VMEM plane."""
+    r = RADIUS
+    tp = [jnp.float32(v) for v in taps]
+    nlev = len(dims)
+    cur = p_hbm  # indexable as [img, 0, ch] -> (ph, pw)
+
+    def plane(ref, img, ch, is_input):
+        if is_input:
+            return ref[img, 0, ch]
+        return ref[img, ch]
+
+    for li, (lh, lw) in enumerate(dims):
+        ph, pw = planes[li]
+        LH = _round_up(lh, 8)
+        LW = _round_up(lw, 128)
+        is_input = li == 0
+
+        # Validity masks (interior occupies [8, 8+lh) x [128, 128+lw)).
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
+        valid = (
+            (row_ids >= 8) & (row_ids < 8 + lh)
+            & (col_ids >= 128) & (col_ids < 128 + lw)
+        ).astype(jnp.float32)
+        mrow = jax.lax.broadcasted_iota(jnp.int32, (LH, LW), 0)
+        mcol = jax.lax.broadcasted_iota(jnp.int32, (LH, LW), 1)
+        mask = ((mrow < lh) & (mcol < lw)).astype(jnp.float32)
+
+        def opsin_mix(img, row):
+            m = OPSIN_ABSORBANCE_MATRIX
+            bias = OPSIN_ABSORBANCE_BIAS
+            root = OPSIN_ABSORBANCE_BIAS_ROOT
+            t = [plane(cur, img, c, is_input) for c in range(3)]
+            v = m[row, 0] * t[0] + m[row, 1] * t[1] + m[row, 2] * t[2] + bias
+            return _cbrt_fast(jnp.maximum(v, 0.0)) - root
+
+        mixes = [(opsin_mix(img, 0), opsin_mix(img, 1)) for img in (0, 1)]
+
+        def xyb_channel(img, c):
+            rg, gr = mixes[img]
+            if c == 0:
+                val = (rg - gr) * np.float32(0.5) * np.float32(14.0) + np.float32(0.42)
+            elif c == 1:
+                val = (rg + gr) * np.float32(0.5) + np.float32(0.01)
+            else:
+                y = (rg + gr) * np.float32(0.5)
+                val = opsin_mix(img, 2) - y + np.float32(0.55)
+            return val * valid
+
+        def blur(q):
+            qw = _blur_w(q, tp, 128 - r, LW)
+            return _blur_h(qw, tp, 8 - r, LH)
+
+        one = jnp.float32(1.0)
+        for c in range(3):
+            a = xyb_channel(0, c)
+            b = xyb_channel(1, c)
+            mu1, mu2, s_sum, s12 = (blur(q) for q in (a, b, a * a + b * b, a * b))
+            i1 = jax.lax.slice(a, (8, 128), (8 + LH, 128 + LW))
+            i2 = jax.lax.slice(b, (8, 128), (8 + LH, 128 + LW))
+
+            mu12 = mu1 * mu2
+            mu_diff = mu1 - mu2
+            num_m = one - mu_diff * mu_diff
+            num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+            denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+            d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+
+            aa = jnp.abs(i2 - mu2)
+            bb2 = jnp.abs(i1 - mu1)
+            d1m = (aa - bb2) / (one + bb2)
+            art = jnp.maximum(d1m, 0.0)
+            det = jnp.maximum(-d1m, 0.0)
+
+            d = d * mask
+            art = art * mask
+            det = det * mask
+            d2 = d * d
+            art2 = art * art
+            det2 = det * det
+            out_ref[0, li, c, :] = jnp.stack(
+                [
+                    jnp.sum(d),
+                    jnp.sum(d2 * d2),
+                    jnp.sum(art),
+                    jnp.sum(art2 * art2),
+                    jnp.sum(det),
+                    jnp.sum(det2 * det2),
+                    jnp.float32(0.0),
+                    jnp.float32(0.0),
+                ]
+            )
+
+        # Exact 2x2-mean downscale into the next level's VMEM plane.
+        if li + 1 < nlev:
+            hn, wn = (lh + 1) // 2, (lw + 1) // 2
+            phn, pwn = planes[li + 1]
+            nxt = scratch[li]
+            nxt[...] = jnp.zeros_like(nxt)
+            dw_p = _round_up(wn, 128)
+            s_cols = (
+                jax.lax.broadcasted_iota(jnp.int32, (2 * wn, dw_p), 0) // 2
+                == jax.lax.broadcasted_iota(jnp.int32, (2 * wn, dw_p), 1)
+            ).astype(jnp.float32)
+            rfac = jnp.float32(1.0)
+            cfac = jnp.float32(1.0)
+            if lh % 2:
+                rid = jax.lax.broadcasted_iota(jnp.int32, (hn, dw_p), 0)
+                rfac = jnp.where(rid == hn - 1, jnp.float32(2.0), jnp.float32(1.0))
+            if lw % 2:
+                cid = jax.lax.broadcasted_iota(jnp.int32, (hn, dw_p), 1)
+                cfac = jnp.where(cid == wn - 1, jnp.float32(2.0), jnp.float32(1.0))
+            for img in (0, 1):
+                for c in range(3):
+                    q = jax.lax.slice(
+                        plane(cur, img, c, is_input),
+                        (8, 128),
+                        (8 + 2 * hn, 128 + 2 * wn),
+                    )
+                    rsum = q.reshape(hn, 2, 2 * wn).sum(axis=1)
+                    quad = jax.lax.dot_general(
+                        rsum, s_cols,
+                        (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )
+                    ds = quad * np.float32(0.25)
+                    if lh % 2 or lw % 2:
+                        ds = ds * rfac * cfac
+                    nxt[img, c, 8 : 8 + hn, 128 : 128 + dw_p] = ds
+            cur = nxt
+
+
+def tail_plane_bytes(h: int, w: int) -> int:
+    """VMEM bytes of one batch element's (2, 3, ph, pw) padded level plane."""
+    return 2 * 3 * (16 + _round_up(h, 8)) * (256 + _round_up(w, 128)) * 4
+
+
+def fused_tail_pallas(
+    p12: jax.Array,
+    dims: list[tuple[int, int]],
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Sums for ALL of ``dims`` (the small pyramid levels) in one kernel.
+
+    ``p12``: (2, B, 3, hp, wp) padded plane of dims[0] (a v4 emit_ds
+    output).  One grid step per batch element; every level lives in VMEM,
+    killing the ~0.8 ms/level fixed cost the per-level kernels pay at
+    sizes where compute is negligible.  Returns (B, len(dims), 3, 6).
+    """
+    two, bsz = p12.shape[0], p12.shape[1]
+    assert two == 2
+    ph0, pw0 = p12.shape[3], p12.shape[4]
+    # Per-level padded VMEM plane sizes (interior at (8, 128), zero halos).
+    planes = [(ph0, pw0)]
+    for lh, lw in dims[1:]:
+        planes.append((16 + _round_up(lh, 8), 256 + _round_up(lw, 128)))
+    # The downscale writes rows [8, 8+hn) and lane stripe [128, 128+dw_p):
+    # ensure each plane accommodates the padded stripe.
+    planes = [
+        (ph, max(pw, 128 + _round_up(lw, 128) + 128))
+        for (ph, pw), (lh, lw) in zip(planes, dims)
+    ]
+    taps = tuple(float(v) for v in gaussian_taps())
+    kernel = functools.partial(
+        _fused_tail_kernel,
+        dims=tuple(dims),
+        planes=tuple(planes),
+        taps=taps,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(
+                (2, 1, 3, ph0, pw0), lambda b: (0, b, 0, 0, 0)
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, len(dims), 3, 8), lambda b: (b, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, len(dims), 3, 8), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, ph, pw), jnp.float32) for ph, pw in planes[1:]
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(p12)
+    return out[..., :6]
+
+
 def fused_scale_pallas_v4(
     lin12_padded: jax.Array,
     h: int,
