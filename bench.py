@@ -48,8 +48,8 @@ def main() -> int:
     from turbo_metrics_tpu.ops import colorspace
     from turbo_metrics_tpu.ops.downscale import scale_dims
 
-    batch = int(os.environ.get("TM_BENCH_BATCH", "4"))
-    iters = int(os.environ.get("TM_BENCH_ITERS", "48"))
+    batch = int(os.environ.get("TM_BENCH_BATCH", "8"))
+    iters = int(os.environ.get("TM_BENCH_ITERS", "32"))
     num_scales = len(scale_dims(H, W))
 
     t0 = time.perf_counter()

@@ -846,11 +846,27 @@ TILE_W4 = 1024
 
 
 def pad_geom4(h: int, w: int) -> tuple[int, int, int, int, int, int]:
-    """(tile_h, tile_w, nth, ntw, hp, wp) of a level's padded layout."""
+    """(tile_h, tile_w, nth, ntw, hp, wp) of a level's padded layout.
+
+    Column tiling picks the cheapest uniform 128-multiple tile no wider
+    than TILE_W4, minimising total processed columns ntw*(tile_w + halos)
+    — e.g. 1280 tiles as 2x640 (zero dead columns) rather than 2x1024
+    (37% masked waste), 1920 stays 2x1024."""
     tile_h = min(TILE_H4, _round_up(h, 8))
-    tile_w = min(TILE_W4, _round_up(w, 128))
+    wr = _round_up(w, 128)
+    if wr <= TILE_W4:
+        tile_w, ntw = wr, 1
+    else:
+        best = None
+        for n in range(2, -(-w // 128) + 1):
+            t = _round_up(-(-w // n), 128)
+            if t > TILE_W4:
+                continue
+            cost = n * (t + 2 * COL_HALO4)
+            if best is None or cost < best[0]:
+                best = (cost, t, n)
+        _, tile_w, ntw = best
     nth = -(-h // tile_h)
-    ntw = -(-w // tile_w)
     hp = ROW_HALO4 + nth * tile_h + ROW_HALO4
     wp = COL_HALO4 + ntw * tile_w + COL_HALO4
     return tile_h, tile_w, nth, ntw, hp, wp
