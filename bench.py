@@ -68,13 +68,14 @@ def main() -> int:
             ssimulacra2_subscores_from_padded,
         )
         from turbo_metrics_tpu.ops.pallas.convert import (
-            yuv420_to_linear_rgb_padded,
+            yuv420_pair_to_linear_rgb_padded,
         )
         from turbo_metrics_tpu.ops.pallas.scale_stats import pad_geom4
 
         def step(y_ref, uv_ref, y_dis, uv_dis, buf):
-            p12 = yuv420_to_linear_rgb_padded(y_ref, uv_ref, buf, 0)
-            p12 = yuv420_to_linear_rgb_padded(y_dis, uv_dis, p12, 1)
+            p12 = yuv420_pair_to_linear_rgb_padded(
+                jnp.stack([y_ref, y_dis]), jnp.stack([uv_ref, uv_dis]), buf
+            )
             sub = ssimulacra2_subscores_from_padded(
                 p12, H, W, num_scales=num_scales
             )

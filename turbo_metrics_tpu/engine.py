@@ -416,6 +416,7 @@ class TurboMetrics:
                     ssimulacra2_subscores_from_padded,
                 )
                 from turbo_metrics_tpu.ops.pallas.convert import (
+                    yuv420_pair_to_linear_rgb_padded,
                     yuv420_to_linear_rgb_padded,
                 )
 
@@ -424,20 +425,31 @@ class TurboMetrics:
                 def fast_step(ref_arrays, dis_arrays, aux):
                     y_r, uv_r = ref_arrays
                     y_d, uv_d = dis_arrays
-                    p12 = yuv420_to_linear_rgb_padded(
-                        y_r, uv_r, None, 0,
-                        depth=spec_ref.depth,
-                        matrix=spec_ref.matrix,
-                        transfer=spec_ref.transfer,
-                        full_range=spec_ref.full_range,
-                    )
-                    p12 = yuv420_to_linear_rgb_padded(
-                        y_d, uv_d, p12, 1,
-                        depth=spec_dis.depth,
-                        matrix=spec_dis.matrix,
-                        transfer=spec_dis.transfer,
-                        full_range=spec_dis.full_range,
-                    )
+                    if spec_ref == spec_dis:
+                        # Both images share a conversion spec: one kernel.
+                        p12 = yuv420_pair_to_linear_rgb_padded(
+                            jnp.stack([y_r, y_d]), jnp.stack([uv_r, uv_d]),
+                            None,
+                            depth=spec_ref.depth,
+                            matrix=spec_ref.matrix,
+                            transfer=spec_ref.transfer,
+                            full_range=spec_ref.full_range,
+                        )
+                    else:
+                        p12 = yuv420_to_linear_rgb_padded(
+                            y_r, uv_r, None, 0,
+                            depth=spec_ref.depth,
+                            matrix=spec_ref.matrix,
+                            transfer=spec_ref.transfer,
+                            full_range=spec_ref.full_range,
+                        )
+                        p12 = yuv420_to_linear_rgb_padded(
+                            y_d, uv_d, p12, 1,
+                            depth=spec_dis.depth,
+                            matrix=spec_dis.matrix,
+                            transfer=spec_dis.transfer,
+                            full_range=spec_dis.full_range,
+                        )
                     return {
                         "ssimulacra2_subscores": ssimulacra2_subscores_from_padded(
                             p12, height, width, num_scales=num_scales

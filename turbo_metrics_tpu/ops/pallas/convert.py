@@ -227,28 +227,38 @@ def _convert_padded_kernel(
     transfer: str,
     h: int,
     w: int,
-    img_idx: int,
+    img_ofs: int,
+    n_img: int,
     nth: int,
     ntw: int,
     bsz: int,
     tile_h: int,
     tile_w: int,
 ):
-    b = pl.program_id(0)
+    # Grid dim 0 is flat over (image, batch): f = img * bsz + b.  A pair
+    # call (n_img=2) converts ref and dis in ONE kernel; the single-image
+    # path passes n_img=1 with img_ofs selecting the destination slot.
+    f = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
-    nsteps = bsz * nth * ntw
-    step = (b * nth + ti) * ntw + tj
+    nsteps = n_img * bsz * nth * ntw
+    step = (f * nth + ti) * ntw + tj
     slot = jax.lax.rem(step, 2)
 
     def store_dma(idx, slot_):
-        b_i = idx // (nth * ntw)
+        f_i = idx // (nth * ntw)
         rem = idx % (nth * ntw)
         dst_r = pl.multiple_of(8 + (rem // ntw) * tile_h, 8)
         dst_c = pl.multiple_of(128 + (rem % ntw) * tile_w, 128)
         return pltpu.make_async_copy(
             rgb_scratch.at[slot_],
-            out_ref.at[img_idx, b_i, :, pl.ds(dst_r, tile_h), pl.ds(dst_c, tile_w)],
+            out_ref.at[
+                img_ofs + f_i // bsz,
+                f_i % bsz,
+                :,
+                pl.ds(dst_r, tile_h),
+                pl.ds(dst_c, tile_w),
+            ],
             sems.at[slot_],
         )
 
@@ -324,6 +334,55 @@ def yuv420_to_linear_rgb_padded(
         -2.0 * (1.0 - kr) * kr / kg / rng.chroma_range,
     )
 
+    return _convert_padded_impl(
+        y, uv, out_or_none, img_idx, 1, bsz, h, w, coeffs, rng, transfer,
+        interpret,
+    )
+
+
+def yuv420_pair_to_linear_rgb_padded(
+    y_pair: jax.Array,
+    uv_pair: jax.Array,
+    out_or_none,
+    *,
+    depth: int = 8,
+    matrix: str = "bt709",
+    transfer: str = "bt709",
+    full_range: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Convert BOTH images of a frame pair in ONE kernel call.
+
+    ``y_pair``: (2, B, H, W); ``uv_pair``: (2, B, ch, cw, 2) — ref at index
+    0, dis at index 1, sharing one conversion spec.  Produces the same
+    (2, B, 3, hp, wp) padded-chain buffer as two yuv420_to_linear_rgb_padded
+    calls, at half the kernel-launch/pipeline-drain cost."""
+    two, bsz, h, w = y_pair.shape
+    assert two == 2
+    kr, kb = colorspace.MATRIX_KR_KB[matrix]
+    rng = colorspace.sample_range(depth, full_range)
+    kg = 1.0 - kr - kb
+    coeffs = (
+        1.0 / rng.luma_range,
+        2.0 * (1.0 - kr) / rng.chroma_range,
+        2.0 * (1.0 - kb) / rng.chroma_range,
+        -2.0 * (1.0 - kb) * kb / kg / rng.chroma_range,
+        -2.0 * (1.0 - kr) * kr / kg / rng.chroma_range,
+    )
+    y_flat = y_pair.reshape(2 * bsz, h, w)
+    uv_flat = uv_pair.reshape(2 * bsz, *uv_pair.shape[2:])
+    return _convert_padded_impl(
+        y_flat, uv_flat, out_or_none, 0, 2, bsz, h, w, coeffs, rng, transfer,
+        interpret,
+    )
+
+
+def _convert_padded_impl(
+    y, uv, out_or_none, img_ofs, n_img, bsz, h, w, coeffs, rng, transfer,
+    interpret,
+):
+    from turbo_metrics_tpu.ops.pallas.scale_stats import pad_geom4
+
     # Tile choice: largest candidate grid that does not write past the
     # megakernel's interior (regions it never writes stay zero from the
     # buffer, which is what the consumer's mask expects anyway).  Images too
@@ -357,7 +416,8 @@ def yuv420_to_linear_rgb_padded(
         transfer=transfer,
         h=h,
         w=w,
-        img_idx=img_idx,
+        img_ofs=img_ofs,
+        n_img=n_img,
         nth=nth,
         ntw=ntw,
         bsz=bsz,
@@ -366,7 +426,7 @@ def yuv420_to_linear_rgb_padded(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(bsz, nth, ntw),
+        grid=(n_img * bsz, nth, ntw),
         in_specs=[
             pl.BlockSpec((1, tile_h, tile_w), lambda b, i, j: (b, i, j)),
             pl.BlockSpec((1, tile_h // 2, tile_w // 2), lambda b, i, j: (b, i, j)),
