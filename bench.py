@@ -139,10 +139,10 @@ def main() -> int:
     # are stacked DEVICE-SIDE and fetched as one transfer, so the dev
     # tunnel's ~28 ms fixed per-fetch latency (not present on a production
     # PCIe host) amortizes over K*batch frames instead of capping the loop.
-    # Two repetitions, best taken (tunnel load varies run to run by ~2x).
+    # Three repetitions, best taken (tunnel load varies run to run by ~2x).
     K = 8
     best = 0.0
-    for rep in range(2):
+    for rep in range(3):
         t0 = time.perf_counter()
         pend: list = []
         prev = None

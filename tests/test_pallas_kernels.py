@@ -163,3 +163,28 @@ def test_v4_downscale_chain_exact(rng):
         inner = np.zeros_like(full)
         inner[:, :, :, ROW_HALO4:ROW_HALO4 + h2, COL_HALO4:COL_HALO4 + w2] = got
         assert np.array_equal(full, inner), f"nonzero slack at {h}x{w}"
+
+
+def test_pair_conversion_matches_two_calls(rng):
+    """yuv420_pair_to_linear_rgb_padded must be bit-identical to two
+    single-image producer calls into the same buffer."""
+    import jax.numpy as jnp
+
+    from turbo_metrics_tpu.ops.pallas.convert import (
+        yuv420_pair_to_linear_rgb_padded,
+        yuv420_to_linear_rgb_padded,
+    )
+
+    B, H, W = 2, 96, 1024
+    y = rng.integers(16, 236, (2, B, H, W), dtype=np.uint8)
+    uv = rng.integers(16, 240, (2, B, H // 2, W // 2, 2), dtype=np.uint8)
+    pair = yuv420_pair_to_linear_rgb_padded(
+        jnp.asarray(y), jnp.asarray(uv), None, interpret=True
+    )
+    p = yuv420_to_linear_rgb_padded(
+        jnp.asarray(y[0]), jnp.asarray(uv[0]), None, 0, interpret=True
+    )
+    p = yuv420_to_linear_rgb_padded(
+        jnp.asarray(y[1]), jnp.asarray(uv[1]), p, 1, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(pair), np.asarray(p))
