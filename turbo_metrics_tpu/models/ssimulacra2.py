@@ -18,6 +18,7 @@ layout the reference itself lists as a perf regret (ssimulacra2-cuda/README.md
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -165,8 +166,9 @@ def ssimulacra2_subscores_from_padded(
     *,
     num_scales: int,
     interpret: bool = False,
+    ds_bufs: Optional[list] = None,
     **kernel_kwargs,
-) -> jax.Array:
+):
     """v4 padded-chain sub-scores from a producer-written (2, B, 3, hp, wp)
     buffer (ops/pallas/convert.yuv420_to_linear_rgb_padded) — the zero-copy
     fast path: no pad or slice materialisation anywhere between the decoded
@@ -179,6 +181,7 @@ def ssimulacra2_subscores_from_padded(
     )
 
     per_scale = []
+    ds_outs = []
     s = 0
     while s < num_scales:
         remaining = num_scales - s
@@ -192,16 +195,47 @@ def ssimulacra2_subscores_from_padded(
             for i, (lh, lw) in enumerate(dims):
                 per_scale.append(norms_from_sums(tail[:, i], lh * lw))
             break
+        ds_buf = None
+        if ds_bufs is not None and len(ds_outs) < len(ds_bufs):
+            ds_buf = ds_bufs[len(ds_outs)]
         sums, ds12 = fused_scale_pallas_v4(
             p12, h, w, emit_ds=s < num_scales - 1, interpret=interpret,
-            **kernel_kwargs,
+            ds_buf=ds_buf, **kernel_kwargs,
         )
         per_scale.append(norms_from_sums(sums, h * w))
         if s < num_scales - 1:
             p12 = ds12
+            ds_outs.append(ds12)
             h, w = (h + 1) // 2, (w + 1) // 2
         s += 1
-    return jnp.stack(per_scale, axis=2)
+    out = jnp.stack(per_scale, axis=2)
+    if ds_bufs is not None:
+        return out, ds_outs
+    return out
+
+
+def ds_buffer_shapes(
+    h: int, w: int, bsz: int, *, num_scales: int
+) -> list[tuple[int, ...]]:
+    """Shapes of the emit_ds buffers ssimulacra2_subscores_from_padded
+    threads when ``ds_bufs`` is passed (one per per-level kernel before the
+    fused tail takes over)."""
+    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+        ds_buffer_hw,
+        tail_plane_bytes,
+    )
+
+    shapes = []
+    s = 0
+    while s < num_scales:
+        if num_scales - s >= 2 and tail_plane_bytes(h, w) <= TAIL_MAX_BYTES:
+            break
+        if s < num_scales - 1:
+            hp2, wp2 = ds_buffer_hw(h, w)
+            shapes.append((2, bsz, 3, hp2, wp2))
+        h, w = (h + 1) // 2, (w + 1) // 2
+        s += 1
+    return shapes
 
 
 class Ssimulacra2:

@@ -1390,6 +1390,21 @@ def tail_plane_bytes(h: int, w: int) -> int:
     return 2 * 3 * (16 + _round_up(h, 8)) * (256 + _round_up(w, 128)) * 4
 
 
+def ds_buffer_hw(h: int, w: int) -> tuple[int, int]:
+    """(hp2, wp2) of the buffer an (h, w) level's emit_ds writes: covers
+    BOTH this level's ds-write extent (its tile grid halved, staging tiles
+    8/128-rounded) and the next level's own tile grid, whichever is larger;
+    slack stays zero and is masked anyway."""
+    tile_h, tile_w, nth, ntw, _, _ = pad_geom4(h, w)
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    t2h, t2w, n2h, n2w, _, _ = pad_geom4(h2, w2)
+    dh, dw = tile_h // 2, tile_w // 2
+    dh_p, dw_p = _round_up(dh, 8), _round_up(dw, 128)
+    hp2 = ROW_HALO4 + max(n2h * t2h, (nth - 1) * dh + dh_p) + ROW_HALO4
+    wp2 = COL_HALO4 + max(n2w * t2w, (ntw - 1) * dw + dw_p) + COL_HALO4
+    return hp2, wp2
+
+
 def fused_tail_pallas(
     p12: jax.Array,
     dims: list[tuple[int, int]],
@@ -1456,6 +1471,7 @@ def fused_scale_pallas_v4(
     newton: bool = True,
     w_pass: str = "vpu",
     cbrt: str = "fastnr",
+    ds_buf: jax.Array | None = None,
     interpret: bool = False,
 ):
     """One padded-chain pyramid level.
@@ -1518,18 +1534,20 @@ def fused_scale_pallas_v4(
     ]
     aliases = {}
     if emit_ds:
-        h2, w2 = (h + 1) // 2, (w + 1) // 2
-        t2h, t2w, n2h, n2w, _, _ = pad_geom4(h2, w2)
-        # Allocation covers BOTH this level's ds-write extent (our tile grid
-        # halved) and the next level's own tile grid — whichever is larger;
-        # slack stays zero via the aliased zero buffer and is masked anyway.
-        dh, dw = tile_h // 2, tile_w // 2
-        dh_p, dw_p = _round_up(dh, 8), _round_up(dw, 128)
-        hp2 = ROW_HALO4 + max(n2h * t2h, (nth - 1) * dh + dh_p) + ROW_HALO4
-        wp2 = COL_HALO4 + max(n2w * t2w, (ntw - 1) * dw + dw_p) + COL_HALO4
+        hp2, wp2 = ds_buffer_hw(h, w)
+        dh_p = _round_up(tile_h // 2, 8)
+        dw_p = _round_up(tile_w // 2, 128)
         # Zero buffer donated to the ds output: tiles write the interior,
-        # the aliasing keeps halos and uncovered slack exactly zero.
-        inputs.append(jnp.zeros((2, bsz, 3, hp2, wp2), jnp.float32))
+        # the aliasing keeps halos and uncovered slack exactly zero.  A
+        # caller-threaded buffer (its halos already zero from a previous
+        # step) avoids re-materialising the zeros every step.
+        if ds_buf is not None:
+            assert ds_buf.shape == (2, bsz, 3, hp2, wp2), (
+                ds_buf.shape, (2, bsz, 3, hp2, wp2)
+            )
+            inputs.append(ds_buf)
+        else:
+            inputs.append(jnp.zeros((2, bsz, 3, hp2, wp2), jnp.float32))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shapes.append(
             jax.ShapeDtypeStruct((2, bsz, 3, hp2, wp2), jnp.float32)
