@@ -422,41 +422,90 @@ class TurboMetrics:
 
                 height, width = self.height, self.width
 
-                def fast_step(ref_arrays, dis_arrays, aux):
+                def convert(ref_arrays, dis_arrays, top_buf):
                     y_r, uv_r = ref_arrays
                     y_d, uv_d = dis_arrays
                     if spec_ref == spec_dis:
                         # Both images share a conversion spec: one kernel.
-                        p12 = yuv420_pair_to_linear_rgb_padded(
+                        return yuv420_pair_to_linear_rgb_padded(
                             jnp.stack([y_r, y_d]), jnp.stack([uv_r, uv_d]),
-                            None,
+                            top_buf,
                             depth=spec_ref.depth,
                             matrix=spec_ref.matrix,
                             transfer=spec_ref.transfer,
                             full_range=spec_ref.full_range,
                         )
-                    else:
-                        p12 = yuv420_to_linear_rgb_padded(
-                            y_r, uv_r, None, 0,
-                            depth=spec_ref.depth,
-                            matrix=spec_ref.matrix,
-                            transfer=spec_ref.transfer,
-                            full_range=spec_ref.full_range,
-                        )
-                        p12 = yuv420_to_linear_rgb_padded(
-                            y_d, uv_d, p12, 1,
-                            depth=spec_dis.depth,
-                            matrix=spec_dis.matrix,
-                            transfer=spec_dis.transfer,
-                            full_range=spec_dis.full_range,
-                        )
-                    return {
-                        "ssimulacra2_subscores": ssimulacra2_subscores_from_padded(
-                            p12, height, width, num_scales=num_scales
-                        )
-                    }
+                    p12 = yuv420_to_linear_rgb_padded(
+                        y_r, uv_r, top_buf, 0,
+                        depth=spec_ref.depth,
+                        matrix=spec_ref.matrix,
+                        transfer=spec_ref.transfer,
+                        full_range=spec_ref.full_range,
+                    )
+                    return yuv420_to_linear_rgb_padded(
+                        y_d, uv_d, p12, 1,
+                        depth=spec_dis.depth,
+                        matrix=spec_dis.matrix,
+                        transfer=spec_dis.transfer,
+                        full_range=spec_dis.full_range,
+                    )
 
-                fn = jax.jit(self._shard(fast_step))
+                if self.mesh is None:
+                    # Single chip: thread the padded + emit_ds buffers
+                    # through steps (donated) so their zeros never get
+                    # re-materialised (same trick as bench.py).
+                    from turbo_metrics_tpu.models.ssimulacra2 import (
+                        ds_buffer_shapes,
+                    )
+                    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+                        pad_geom4,
+                    )
+
+                    def fast_step_buf(ref_arrays, dis_arrays, aux, bufs):
+                        p12 = convert(ref_arrays, dis_arrays, bufs[0])
+                        sub, ds_out = ssimulacra2_subscores_from_padded(
+                            p12, height, width, num_scales=num_scales,
+                            ds_bufs=bufs[1],
+                        )
+                        return (
+                            {"ssimulacra2_subscores": sub},
+                            (p12, ds_out),
+                        )
+
+                    jfn = jax.jit(fast_step_buf, donate_argnums=(3,))
+                    _, _, _, _, hp, wp = pad_geom4(height, width)
+                    state = {"bufs": None}
+
+                    def fn(ref_arrays, dis_arrays, aux):
+                        if state["bufs"] is None:
+                            bsz = ref_arrays[0].shape[0]
+                            state["bufs"] = (
+                                jnp.zeros((2, bsz, 3, hp, wp), jnp.float32),
+                                [
+                                    jnp.zeros(s, jnp.float32)
+                                    for s in ds_buffer_shapes(
+                                        height, width, bsz,
+                                        num_scales=num_scales,
+                                    )
+                                ],
+                            )
+                        out, state["bufs"] = jfn(
+                            ref_arrays, dis_arrays, aux, state["bufs"]
+                        )
+                        return out
+                else:
+                    def fast_step(ref_arrays, dis_arrays, aux):
+                        p12 = convert(ref_arrays, dis_arrays, None)
+                        return {
+                            "ssimulacra2_subscores": (
+                                ssimulacra2_subscores_from_padded(
+                                    p12, height, width,
+                                    num_scales=num_scales,
+                                )
+                            )
+                        }
+
+                    fn = jax.jit(self._shard(fast_step))
                 self._step_cache[key] = fn
                 return fn
 
