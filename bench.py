@@ -65,38 +65,29 @@ def main() -> int:
         # through the steps (donated), so its 200+ MB never get re-zeroed —
         # only the interior is rewritten and the halos stay zero.
         from turbo_metrics_tpu.models.ssimulacra2 import (
-            ssimulacra2_subscores_from_padded,
+            ds_buffer_shapes_yuv,
+            ssimulacra2_subscores_from_yuv,
         )
-        from turbo_metrics_tpu.ops.pallas.convert import (
-            yuv420_pair_to_linear_rgb_padded,
-        )
-        from turbo_metrics_tpu.ops.pallas.scale_stats import pad_geom4
 
-        from turbo_metrics_tpu.models.ssimulacra2 import ds_buffer_shapes
-
-        def step(y_ref, uv_ref, y_dis, uv_dis, buf, ds_bufs):
-            p12 = yuv420_pair_to_linear_rgb_padded(
-                jnp.stack([y_ref, y_dis]), jnp.stack([uv_ref, uv_dis]), buf
+        def step(y_ref, uv_ref, y_dis, uv_dis, ds_bufs):
+            sub, ds_outs = ssimulacra2_subscores_from_yuv(
+                jnp.stack([y_ref, y_dis]), jnp.stack([uv_ref, uv_dis]),
+                H, W, num_scales=num_scales, ds_bufs=ds_bufs,
             )
-            sub, ds_outs = ssimulacra2_subscores_from_padded(
-                p12, H, W, num_scales=num_scales, ds_bufs=ds_bufs
-            )
-            return sub, p12, ds_outs
+            return sub, ds_outs
 
-        fn_buf = jax.jit(step, donate_argnums=(4, 5))
-        _, _, _, _, hp, wp = pad_geom4(H, W)
-        buf0 = jnp.zeros((2, batch, 3, hp, wp), jnp.float32)
+        fn_buf = jax.jit(step, donate_argnums=(4,))
         ds0 = [
             jnp.zeros(s, jnp.float32)
-            for s in ds_buffer_shapes(H, W, batch, num_scales=num_scales)
+            for s in ds_buffer_shapes_yuv(H, W, batch, num_scales=num_scales)
         ]
 
         def make_fn():
-            state = {"buf": buf0, "ds": ds0}
+            state = {"ds": ds0}
 
             def run(y_ref, uv_ref, y_dis, uv_dis):
-                sub, state["buf"], state["ds"] = fn_buf(
-                    y_ref, uv_ref, y_dis, uv_dis, state["buf"], state["ds"]
+                sub, state["ds"] = fn_buf(
+                    y_ref, uv_ref, y_dis, uv_dis, state["ds"]
                 )
                 return sub
 

@@ -450,27 +450,53 @@ class TurboMetrics:
                         full_range=spec_dis.full_range,
                     )
 
+                from turbo_metrics_tpu.ops.pallas.scale_stats import (
+                    fused_yuv_ok,
+                )
+
                 if self.mesh is None:
                     # Single chip: thread the padded + emit_ds buffers
                     # through steps (donated) so their zeros never get
-                    # re-materialised (same trick as bench.py).
+                    # re-materialised (same trick as bench.py); with a
+                    # shared conversion spec and a supported geometry,
+                    # scale 0 runs conversion-fused straight from YUV.
                     from turbo_metrics_tpu.models.ssimulacra2 import (
                         ds_buffer_shapes,
+                        ds_buffer_shapes_yuv,
+                        ssimulacra2_subscores_from_yuv,
                     )
                     from turbo_metrics_tpu.ops.pallas.scale_stats import (
                         pad_geom4,
                     )
 
-                    def fast_step_buf(ref_arrays, dis_arrays, aux, bufs):
-                        p12 = convert(ref_arrays, dis_arrays, bufs[0])
-                        sub, ds_out = ssimulacra2_subscores_from_padded(
-                            p12, height, width, num_scales=num_scales,
-                            ds_bufs=bufs[1],
-                        )
-                        return (
-                            {"ssimulacra2_subscores": sub},
-                            (p12, ds_out),
-                        )
+                    use_yuv = spec_ref == spec_dis and fused_yuv_ok(
+                        height, width
+                    )
+
+                    if use_yuv:
+                        def fast_step_buf(ref_arrays, dis_arrays, aux, bufs):
+                            sub, ds_out = ssimulacra2_subscores_from_yuv(
+                                jnp.stack([ref_arrays[0], dis_arrays[0]]),
+                                jnp.stack([ref_arrays[1], dis_arrays[1]]),
+                                height, width, num_scales=num_scales,
+                                depth=spec_ref.depth,
+                                matrix=spec_ref.matrix,
+                                transfer=spec_ref.transfer,
+                                full_range=spec_ref.full_range,
+                                ds_bufs=bufs,
+                            )
+                            return {"ssimulacra2_subscores": sub}, ds_out
+                    else:
+                        def fast_step_buf(ref_arrays, dis_arrays, aux, bufs):
+                            p12 = convert(ref_arrays, dis_arrays, bufs[0])
+                            sub, ds_out = ssimulacra2_subscores_from_padded(
+                                p12, height, width, num_scales=num_scales,
+                                ds_bufs=bufs[1],
+                            )
+                            return (
+                                {"ssimulacra2_subscores": sub},
+                                (p12, ds_out),
+                            )
 
                     jfn = jax.jit(fast_step_buf, donate_argnums=(3,))
                     _, _, _, _, hp, wp = pad_geom4(height, width)
@@ -479,16 +505,25 @@ class TurboMetrics:
                     def fn(ref_arrays, dis_arrays, aux):
                         if state["bufs"] is None:
                             bsz = ref_arrays[0].shape[0]
-                            state["bufs"] = (
-                                jnp.zeros((2, bsz, 3, hp, wp), jnp.float32),
-                                [
+                            if use_yuv:
+                                state["bufs"] = [
                                     jnp.zeros(s, jnp.float32)
-                                    for s in ds_buffer_shapes(
+                                    for s in ds_buffer_shapes_yuv(
                                         height, width, bsz,
                                         num_scales=num_scales,
                                     )
-                                ],
-                            )
+                                ]
+                            else:
+                                state["bufs"] = (
+                                    jnp.zeros((2, bsz, 3, hp, wp), jnp.float32),
+                                    [
+                                        jnp.zeros(s, jnp.float32)
+                                        for s in ds_buffer_shapes(
+                                            height, width, bsz,
+                                            num_scales=num_scales,
+                                        )
+                                    ],
+                                )
                         out, state["bufs"] = jfn(
                             ref_arrays, dis_arrays, aux, state["bufs"]
                         )

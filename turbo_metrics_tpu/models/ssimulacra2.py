@@ -214,6 +214,69 @@ def ssimulacra2_subscores_from_padded(
     return out
 
 
+def ssimulacra2_subscores_from_yuv(
+    y2: jax.Array,
+    uv2: jax.Array,
+    h: int,
+    w: int,
+    *,
+    num_scales: int,
+    depth: int = 8,
+    matrix: str = "bt709",
+    transfer: str = "bt709",
+    full_range: bool = False,
+    ds_bufs: Optional[list] = None,
+    interpret: bool = False,
+):
+    """Sub-scores straight from (2, B, h, w) luma + (2, B, ch, cw, 2)
+    chroma: scale 0 runs conversion-fused (scale_stats.
+    fused_scale0_yuv_pallas — full-resolution linear RGB never exists in
+    HBM), remaining levels consume its emitted padded chain.  Bit-identical
+    on TPU to the producer + v4 path; gate availability with
+    scale_stats.fused_yuv_ok(h, w)."""
+    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+        fused_scale0_yuv_pallas,
+        norms_from_sums,
+    )
+
+    emit = num_scales > 1
+    ds0 = ds_bufs[0] if (ds_bufs and emit) else None
+    sums0, ds12 = fused_scale0_yuv_pallas(
+        y2, uv2, h, w,
+        depth=depth, matrix=matrix, transfer=transfer,
+        full_range=full_range,
+        emit_ds=emit, ds_buf=ds0, interpret=interpret,
+    )
+    per0 = norms_from_sums(sums0, h * w)[:, :, None]  # (B, 3, 1, 2, 3)
+    if not emit:
+        return (per0, []) if ds_bufs is not None else per0
+    rest = ssimulacra2_subscores_from_padded(
+        ds12, (h + 1) // 2, (w + 1) // 2,
+        num_scales=num_scales - 1,
+        ds_bufs=ds_bufs[1:] if ds_bufs is not None else None,
+        interpret=interpret,
+    )
+    if ds_bufs is not None:
+        rest, ds_rest = rest
+        return jnp.concatenate([per0, rest], axis=2), [ds12] + ds_rest
+    return jnp.concatenate([per0, rest], axis=2)
+
+
+def ds_buffer_shapes_yuv(
+    h: int, w: int, bsz: int, *, num_scales: int
+) -> list[tuple[int, ...]]:
+    """ds-buffer shapes for ssimulacra2_subscores_from_yuv: the fused
+    scale-0 always emits one buffer; the rest follow the padded chain."""
+    from turbo_metrics_tpu.ops.pallas.scale_stats import ds_buffer_hw
+
+    if num_scales <= 1:
+        return []
+    hp2, wp2 = ds_buffer_hw(h, w)
+    return [(2, bsz, 3, hp2, wp2)] + ds_buffer_shapes(
+        (h + 1) // 2, (w + 1) // 2, bsz, num_scales=num_scales - 1
+    )
+
+
 def ds_buffer_shapes(
     h: int, w: int, bsz: int, *, num_scales: int
 ) -> list[tuple[int, ...]]:

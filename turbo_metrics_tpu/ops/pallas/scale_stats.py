@@ -1240,6 +1240,488 @@ def _fused_scale_kernel_v4(
         cp.wait()
 
 
+def _fused_scale0_yuv_kernel(
+    *refs,
+    h: int,
+    w: int,
+    tile_h: int,
+    tile_w: int,
+    nth: int,
+    ntw: int,
+    bsz: int,
+    taps: tuple[float, ...],
+    precision: str,
+    emit_ds: bool,
+    h_odd: bool,
+    w_odd: bool,
+    cbrt: str,
+    coeffs: tuple,
+    minimum: float,
+    neutral: float,
+    transfer: str,
+):
+    """v5: scale 0 straight from padded u8 YUV planes — the conversion
+    (range offsets, matrix, exact chunked one-hot chroma upsample, EOTF,
+    validity mask) happens in-kernel, so full-resolution linear RGB never
+    touches HBM.  Downstream (XYB, 4-blur, maps, sums, emit_ds) is
+    identical to the v4 kernel; halo semantics match the producer path
+    exactly (clip + mask)."""
+    from turbo_metrics_tpu.ops import colorspace as _cs
+
+    it = iter(refs)
+    y_hbm = next(it)  # (2, B, HP_Y, WP_Y) u8, image origin (8, 128)
+    u_hbm = next(it)  # (2, B, HP_C, WP_C) u8, origin (4, 64)
+    v_hbm = next(it)
+    hmat = next(it)
+    if emit_ds:
+        _z = next(it)
+    out_ref = next(it)
+    ds_ref = next(it) if emit_ds else None
+    ty = next(it)  # (2 slots, 2 img, rows, cols) u8
+    tu = next(it)  # (2 slots, 2 img, crows, ccols) u8
+    tv = next(it)
+    sems = next(it)  # (2 slots, 6)
+    ds_store = next(it) if emit_ds else None
+    ds_sems = next(it) if emit_ds else None
+
+    p = pl.program_id(0)
+    th = pl.program_id(1)
+    tw = pl.program_id(2)
+    r = RADIUS
+    rows = tile_h + 2 * ROW_HALO4
+    cols = tile_w + 2 * COL_HALO4
+    crows = rows // 2
+    ccols = cols // 2
+    prec = _PRECISIONS.get(precision)
+
+    nsteps = bsz * nth * ntw
+    step = (p * nth + th) * ntw + tw
+
+    def dmas(idx, slot):
+        p_ = idx // (nth * ntw)
+        rem = idx % (nth * ntw)
+        row0_ = pl.multiple_of((rem // ntw) * tile_h, 8)
+        col0_ = pl.multiple_of((rem % ntw) * tile_w, 128)
+        crow0 = pl.multiple_of(row0_ // 2, 8)
+        ccol0 = pl.multiple_of(col0_ // 2, 128)
+        out = []
+        for img in (0, 1):
+            out.append(pltpu.make_async_copy(
+                y_hbm.at[img, p_, pl.ds(row0_, rows), pl.ds(col0_, cols)],
+                ty.at[slot, img], sems.at[slot, img],
+            ))
+            out.append(pltpu.make_async_copy(
+                u_hbm.at[img, p_, pl.ds(crow0, crows), pl.ds(ccol0, ccols)],
+                tu.at[slot, img], sems.at[slot, 2 + img],
+            ))
+            out.append(pltpu.make_async_copy(
+                v_hbm.at[img, p_, pl.ds(crow0, crows), pl.ds(ccol0, ccols)],
+                tv.at[slot, img], sems.at[slot, 4 + img],
+            ))
+        return out
+
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        for d in dmas(step, slot):
+            d.start()
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        for d in dmas(step + 1, jax.lax.rem(step + 1, 2)):
+            d.start()
+
+    for d in dmas(step, slot):
+        d.wait()
+
+    row0 = pl.multiple_of(th * tile_h, 8)
+    col0 = pl.multiple_of(tw * tile_w, 128)
+
+    # Validity mask over the padded tile.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=1)
+    gr_ids = row_ids + row0 - ROW_HALO4
+    gc_ids = col_ids + col0 - COL_HALO4
+    valid = (
+        (gr_ids >= 0) & (gr_ids < h) & (gc_ids >= 0) & (gc_ids < w)
+    ).astype(jnp.float32)
+
+    # ---- in-kernel conversion: u8 YUV tile -> linear RGB planes ----
+    y_coeff, r_coeff, b_coeff, g_coeff1, g_coeff2 = (
+        jnp.float32(c) for c in coeffs
+    )
+    up_rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, crows), dimension=0) // 2
+        == jax.lax.broadcasted_iota(jnp.int32, (rows, crows), dimension=1)
+    ).astype(jnp.bfloat16)
+    up_cols_chunk = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 256), dimension=0)
+        == jax.lax.broadcasted_iota(jnp.int32, (128, 256), dimension=1) // 2
+    ).astype(jnp.bfloat16)
+
+    def up(c):
+        # Exact 3-limb bf16 one-hot upsample; the column pass is chunked
+        # over 128-aligned chroma stripes (each output pair-of-lanes needs
+        # exactly one chroma lane, so chunks need no halo).
+        hi = c.astype(jnp.bfloat16)
+        r1 = c - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = None
+        for limb in (hi, mid, lo):
+            t = jax.lax.dot_general(
+                up_rows, limb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            chunks = []
+            for j in range(ccols // 128):
+                s = j * 128
+                chunks.append(jax.lax.dot_general(
+                    jax.lax.slice(t, (0, s), (rows, s + 128)),
+                    up_cols_chunk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+            tt = jnp.concatenate(chunks, axis=-1)
+            acc = tt if acc is None else acc + tt
+        return acc
+
+    eotf = {
+        "bt709": _cs.bt709_eotf_fast,
+        "srgb": _cs.srgb_eotf_fast,
+        "pq": _cs.pq_eotf,
+        "hlg": _cs.hlg_eotf,
+        "linear": lambda v: v,
+    }[transfer]
+
+    rgbs = []
+    for img in (0, 1):
+        luma = (
+            jnp.maximum(
+                ty[slot, img].astype(jnp.int32).astype(jnp.float32),
+                jnp.float32(minimum),
+            )
+            - jnp.float32(minimum)
+        ) * y_coeff
+        cb = tu[slot, img].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
+        cr = tv[slot, img].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
+        r_ = up(r_coeff * cr)
+        g_ = up(g_coeff1 * cb + g_coeff2 * cr)
+        b_ = up(b_coeff * cb)
+        rgbs.append(tuple(
+            jnp.clip(eotf(luma + c_), 0.0, 1.0) * valid
+            for c_ in (r_, g_, b_)
+        ))
+
+    # ---- exact downscale of the valid tile region into the next level ----
+    ds_copies = []
+    if emit_ds:
+        dh, dw = tile_h // 2, tile_w // 2
+        dh_p = _round_up(dh, 8)
+        dw_p = _round_up(dw, 128)
+        s_cols = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=0) // 2
+            == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=1)
+        ).astype(jnp.float32)
+        rfac = jnp.float32(1.0)
+        cfac = jnp.float32(1.0)
+        h2 = (h + 1) // 2
+        w2 = (w + 1) // 2
+        if h_odd:
+            rid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 0) + row0 // 2
+            rfac = jnp.where(rid == h2 - 1, jnp.float32(2.0), jnp.float32(1.0))
+        if w_odd:
+            cid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 1) + col0 // 2
+            cfac = jnp.where(cid == w2 - 1, jnp.float32(2.0), jnp.float32(1.0))
+
+        for img_idx in (0, 1):
+            for c in range(3):
+                q = jax.lax.slice(
+                    rgbs[img_idx][c],
+                    (ROW_HALO4, COL_HALO4),
+                    (ROW_HALO4 + tile_h, COL_HALO4 + tile_w),
+                )
+                rsum = q.reshape(dh, 2, tile_w).sum(axis=1)
+                if dh_p != dh:
+                    rsum = jnp.pad(rsum, ((0, dh_p - dh), (0, 0)))
+                quad = jax.lax.dot_general(
+                    rsum, s_cols,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                ds_tile = quad * np.float32(0.25)
+                if h_odd or w_odd:
+                    ds_tile = ds_tile * rfac * cfac
+                slot_ = img_idx * 3 + c
+                ds_store[slot_] = ds_tile
+                dst_r = pl.multiple_of(ROW_HALO4 + row0 // 2, 8)
+                dst_c = pl.multiple_of(COL_HALO4 + col0 // 2, 128)
+                cp = pltpu.make_async_copy(
+                    ds_store.at[slot_],
+                    ds_ref.at[
+                        img_idx, p, c, pl.ds(dst_r, dh_p), pl.ds(dst_c, dw_p)
+                    ],
+                    ds_sems.at[img_idx, c],
+                )
+                cp.start()
+                ds_copies.append(cp)
+
+    # ---- XYB + blur + maps + sums (identical math to v4) ----
+    def opsin_mix(rgb, row):
+        m = OPSIN_ABSORBANCE_MATRIX
+        bias = OPSIN_ABSORBANCE_BIAS
+        root = OPSIN_ABSORBANCE_BIAS_ROOT
+        third = np.float32(1.0 / 3.0)
+        v = m[row, 0] * rgb[0] + m[row, 1] * rgb[1] + m[row, 2] * rgb[2] + bias
+        v = jnp.maximum(v, 0.0)
+        if cbrt == "fastnr":
+            return _cbrt_fast(v) - root
+        y0 = jnp.power(v, third)
+        y0 = (np.float32(2.0) * y0 + v / (y0 * y0)) * third
+        return y0 - root
+
+    mixes = [(opsin_mix(rgb, 0), opsin_mix(rgb, 1)) for rgb in rgbs]
+
+    def xyb_channel(idx, c):
+        rg, gr = mixes[idx]
+        if c == 0:
+            val = (rg - gr) * np.float32(0.5) * np.float32(14.0) + np.float32(0.42)
+        elif c == 1:
+            val = (rg + gr) * np.float32(0.5) + np.float32(0.01)
+        else:
+            y = (rg + gr) * np.float32(0.5)
+            val = opsin_mix(rgbs[idx], 2) - y + np.float32(0.55)
+        return val * valid
+
+    tp = [jnp.float32(v) for v in taps]
+
+    def blur(q):
+        if precision == "bf16x3":
+            qhi, qlo = _split_bf16(q)
+            qh = _dot3(hmat[0], hmat[1], qhi, qlo, ((1,), (0,)))
+        else:
+            qh = jax.lax.dot_general(
+                hmat[...], q,
+                (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+        return _blur_w(qh, tp, COL_HALO4 - r, tile_w)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    one = jnp.float32(1.0)
+    for c in range(3):
+        a = xyb_channel(0, c)
+        b = xyb_channel(1, c)
+        mu1, mu2, s_sum, s12 = (blur(q) for q in (a, b, a * a + b * b, a * b))
+
+        i1 = jax.lax.slice(
+            a, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+        )
+        i2 = jax.lax.slice(
+            b, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+        )
+
+        mu12 = mu1 * mu2
+        mu_diff = mu1 - mu2
+        num_m = one - mu_diff * mu_diff
+        num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+        denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+
+        aa = jnp.abs(i2 - mu2)
+        bb2 = jnp.abs(i1 - mu1)
+        d1m = (aa - bb2) / (one + bb2)
+        art = jnp.maximum(d1m, 0.0)
+        det = jnp.maximum(-d1m, 0.0)
+
+        mask = jax.lax.slice(
+            valid, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+        )
+        d = d * mask
+        art = art * mask
+        det = det * mask
+        d2 = d * d
+        art2 = art * art
+        det2 = det * det
+        partial = jnp.stack(
+            [
+                jnp.sum(d),
+                jnp.sum(d2 * d2),
+                jnp.sum(art),
+                jnp.sum(art2 * art2),
+                jnp.sum(det),
+                jnp.sum(det2 * det2),
+                jnp.float32(0.0),
+                jnp.float32(0.0),
+            ]
+        )
+        out_ref[0, 0, 0, c, :] = partial
+
+    for cp in ds_copies:
+        cp.wait()
+
+
+def fused_scale0_yuv_pallas(
+    y2: jax.Array,
+    uv2: jax.Array,
+    h: int,
+    w: int,
+    *,
+    depth: int = 8,
+    matrix: str = "bt709",
+    transfer: str = "bt709",
+    full_range: bool = False,
+    emit_ds: bool = True,
+    precision: str = "highest",
+    cbrt: str = "fastnr",
+    ds_buf: jax.Array | None = None,
+    interpret: bool = False,
+):
+    """Scale 0 of the pyramid straight from YUV 4:2:0 — conversion fused.
+
+    ``y2``: (2, B, h, w) integer luma (ref, dis); ``uv2``: (2, B, ch, cw, 2).
+    Returns (sums (B, 3, 6), ds12) with ds12 the level-1 padded input —
+    full-resolution linear RGB never exists in HBM.  Requires even tile
+    geometry (pad_geom4 tile_h/tile_w already are).
+    """
+    from turbo_metrics_tpu.ops import colorspace
+
+    two, bsz = y2.shape[0], y2.shape[1]
+    assert two == 2
+    tile_h, tile_w, nth, ntw, hp, wp = pad_geom4(h, w)
+    assert not (emit_ds and nth > 1 and tile_h % 16)
+    if tile_w % 256:
+        # Chroma tiles must stay 128-lane aligned (half the luma tile);
+        # geometries like 2x640 fall back to producer + v4.
+        raise ValueError(
+            f"fused YUV scale-0 needs tile_w % 256 == 0 (got {tile_w})"
+        )
+    rows = tile_h + 2 * ROW_HALO4
+    cols = tile_w + 2 * COL_HALO4
+    taps = tuple(float(v) for v in gaussian_taps())
+
+    kr, kb = colorspace.MATRIX_KR_KB[matrix]
+    rng = colorspace.sample_range(depth, full_range)
+    kg = 1.0 - kr - kb
+    coeffs = (
+        1.0 / rng.luma_range,
+        2.0 * (1.0 - kr) / rng.chroma_range,
+        2.0 * (1.0 - kb) / rng.chroma_range,
+        -2.0 * (1.0 - kb) * kb / kg / rng.chroma_range,
+        -2.0 * (1.0 - kr) * kr / kg / rng.chroma_range,
+    )
+
+    # Padded u8 planes: luma origin (8, 128) in the pad_geom4 grid extent;
+    # chroma origin (4, 64) at half geometry.  Zero padding: the in-kernel
+    # mask recreates the producer's exact semantics.
+    hp_y, wp_y = ROW_HALO4 + nth * tile_h + ROW_HALO4, COL_HALO4 + ntw * tile_w + COL_HALO4
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    dt = y2.dtype
+    yp = jnp.pad(
+        y2, ((0, 0), (0, 0), (ROW_HALO4, hp_y - h - ROW_HALO4),
+             (COL_HALO4, wp_y - w - COL_HALO4)),
+    )
+    up_ = jnp.pad(
+        uv2[..., 0],
+        ((0, 0), (0, 0), (ROW_HALO4 // 2, hp_y // 2 - ch - ROW_HALO4 // 2),
+         (COL_HALO4 // 2, wp_y // 2 - cw - COL_HALO4 // 2)),
+    )
+    vp_ = jnp.pad(
+        uv2[..., 1],
+        ((0, 0), (0, 0), (ROW_HALO4 // 2, hp_y // 2 - ch - ROW_HALO4 // 2),
+         (COL_HALO4 // 2, wp_y // 2 - cw - COL_HALO4 // 2)),
+    )
+
+    inputs = [yp, up_, vp_]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    hmat = _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)
+    if precision == "bf16x3":
+        inputs.append(jnp.asarray(_split_bf16_np(hmat)))
+        in_specs.append(
+            pl.BlockSpec((2, tile_h, rows), lambda p, th, tw: (0, 0, 0))
+        )
+    else:
+        inputs.append(jnp.asarray(hmat))
+        in_specs.append(pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)))
+
+    out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, 1, 8, 8),
+            lambda p, th, tw: (p, th, tw, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    scratch = [
+        pltpu.VMEM((2, 2, rows, cols), dt),
+        pltpu.VMEM((2, 2, rows // 2, cols // 2), dt),
+        pltpu.VMEM((2, 2, rows // 2, cols // 2), dt),
+        pltpu.SemaphoreType.DMA((2, 6)),
+    ]
+    aliases = {}
+    if emit_ds:
+        hp2, wp2 = ds_buffer_hw(h, w)
+        dh_p = _round_up(tile_h // 2, 8)
+        dw_p = _round_up(tile_w // 2, 128)
+        if ds_buf is not None:
+            assert ds_buf.shape == (2, bsz, 3, hp2, wp2)
+            inputs.append(ds_buf)
+        else:
+            inputs.append(jnp.zeros((2, bsz, 3, hp2, wp2), jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((2, bsz, 3, hp2, wp2), jnp.float32)
+        )
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        aliases = {len(inputs) - 1: 1}
+        scratch += [
+            pltpu.VMEM((6, dh_p, dw_p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ]
+
+    kernel = functools.partial(
+        _fused_scale0_yuv_kernel,
+        h=h,
+        w=w,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        nth=nth,
+        ntw=ntw,
+        bsz=bsz,
+        taps=taps,
+        precision=precision,
+        emit_ds=emit_ds,
+        h_odd=bool(h % 2) if emit_ds else False,
+        w_odd=bool(w % 2) if emit_ds else False,
+        cbrt=cbrt,
+        coeffs=coeffs,
+        minimum=float(rng.minimum),
+        neutral=float(rng.neutral),
+        transfer=transfer,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nth, ntw),
+        in_specs=in_specs,
+        out_specs=out_specs if emit_ds else out_specs[0],
+        out_shape=out_shapes if emit_ds else out_shapes[0],
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if emit_ds:
+        sums_raw, ds12 = outs
+    else:
+        sums_raw, ds12 = outs, None
+    sums = sums_raw[:, :, :, :3, :6].sum(axis=(1, 2))
+    return sums, ds12
+
+
 def _fused_tail_kernel(
     p_hbm,
     out_ref,
@@ -1383,6 +1865,13 @@ def _fused_tail_kernel(
                         ds = ds * rfac * cfac
                     nxt[img, c, 8 : 8 + hn, 128 : 128 + dw_p] = ds
             cur = nxt
+
+
+def fused_yuv_ok(h: int, w: int) -> bool:
+    """Whether fused_scale0_yuv_pallas supports this geometry (its chroma
+    tiles must stay 128-lane aligned: luma tile_w % 256 == 0)."""
+    tile_h, tile_w, nth, _, _, _ = pad_geom4(h, w)
+    return tile_w % 256 == 0 and not (nth > 1 and tile_h % 16)
 
 
 def tail_plane_bytes(h: int, w: int) -> int:
