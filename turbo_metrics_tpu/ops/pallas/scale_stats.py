@@ -954,6 +954,120 @@ def _band_matrix_wchunk(taps) -> np.ndarray:
     return m
 
 
+def _maps_and_sums(out_ref, xyb_channel, blur, valid, tile_h, tile_w):
+    """Shared per-channel tail of the scale kernels: XYB pair -> 4 blurs
+    (s11+s22 collapsed by linearity) -> modified-SSIM + edge-difference
+    maps -> masked partial sums into out_ref[0,0,0,c,:]."""
+    out_ref[...] = jnp.zeros_like(out_ref)
+    one = jnp.float32(1.0)
+    mask = jax.lax.slice(
+        valid, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+    )
+    for c in range(3):
+        a = xyb_channel(0, c)
+        b = xyb_channel(1, c)
+        mu1, mu2, s_sum, s12 = (blur(q) for q in (a, b, a * a + b * b, a * b))
+
+        i1 = jax.lax.slice(
+            a, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+        )
+        i2 = jax.lax.slice(
+            b, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+        )
+
+        mu12 = mu1 * mu2
+        mu_diff = mu1 - mu2
+        num_m = one - mu_diff * mu_diff
+        num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+        denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+
+        aa = jnp.abs(i2 - mu2)
+        bb2 = jnp.abs(i1 - mu1)
+        d1m = (aa - bb2) / (one + bb2)
+        art = jnp.maximum(d1m, 0.0)
+        det = jnp.maximum(-d1m, 0.0)
+
+        d = d * mask
+        art = art * mask
+        det = det * mask
+        d2 = d * d
+        art2 = art * art
+        det2 = det * det
+        out_ref[0, 0, 0, c, :] = jnp.stack(
+            [
+                jnp.sum(d),
+                jnp.sum(d2 * d2),
+                jnp.sum(art),
+                jnp.sum(art2 * art2),
+                jnp.sum(det),
+                jnp.sum(det2 * det2),
+                jnp.float32(0.0),
+                jnp.float32(0.0),
+            ]
+        )
+
+
+def _emit_ds_tiles(
+    ds_ref, ds_store, ds_sems, get_plane, *,
+    p, row0, col0, tile_h, tile_w, h, w, h_odd, w_odd,
+):
+    """Shared exact 2x2-mean downscale of the valid tile region into the
+    next level's padded buffer.  ``get_plane(img, c)`` yields the linear
+    (tile_h, tile_w) interior; returns the started DMA copies to wait on."""
+    dh, dw = tile_h // 2, tile_w // 2
+    dh_p = _round_up(dh, 8)
+    dw_p = _round_up(dw, 128)
+    s_cols = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=0) // 2
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=1)
+    ).astype(jnp.float32)
+    # Odd-dimension correction: with zero padding, the last valid output
+    # row/col of an odd input dimension sums one real sample instead of a
+    # replicated pair — scale it by 2 (2x2-mean edge replication).
+    rfac = jnp.float32(1.0)
+    cfac = jnp.float32(1.0)
+    h2 = (h + 1) // 2
+    w2 = (w + 1) // 2
+    if h_odd:
+        rid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 0) + row0 // 2
+        rfac = jnp.where(rid == h2 - 1, jnp.float32(2.0), jnp.float32(1.0))
+    if w_odd:
+        cid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 1) + col0 // 2
+        cfac = jnp.where(cid == w2 - 1, jnp.float32(2.0), jnp.float32(1.0))
+
+    copies = []
+    for img_idx in (0, 1):
+        for c in range(3):
+            q = get_plane(img_idx, c)
+            rsum = q.reshape(dh, 2, tile_w).sum(axis=1)
+            if dh_p != dh:
+                rsum = jnp.pad(rsum, ((0, dh_p - dh), (0, 0)))
+            quad = jax.lax.dot_general(
+                rsum, s_cols,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            ds_tile = quad * np.float32(0.25)
+            if h_odd or w_odd:
+                ds_tile = ds_tile * rfac * cfac
+            slot_ = img_idx * 3 + c
+            ds_store[slot_] = ds_tile
+            dst_r = pl.multiple_of(ROW_HALO4 + row0 // 2, 8)
+            dst_c = pl.multiple_of(COL_HALO4 + col0 // 2, 128)
+            cp = pltpu.make_async_copy(
+                ds_store.at[slot_],
+                ds_ref.at[
+                    img_idx, p, c, pl.ds(dst_r, dh_p), pl.ds(dst_c, dw_p)
+                ],
+                ds_sems.at[img_idx, c],
+            )
+            cp.start()
+            copies.append(cp)
+    return copies
+
+
 def _fused_scale_kernel_v4(
     *refs,
     h: int,
@@ -1051,66 +1165,18 @@ def _fused_scale_kernel_v4(
     # ---- exact downscale of the valid tile region into the next level ----
     ds_copies = []
     if emit_ds:
-        dh, dw = tile_h // 2, tile_w // 2
-        # DMA-aligned staging tile: round up to (8, 128); the padding columns
-        # multiply all-zero s_cols rows (and padded rows are zero-filled), so
-        # the extra area writes zeros into the destination's zero slack.
-        dh_p = _round_up(dh, 8)
-        dw_p = _round_up(dw, 128)
-        s_cols = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=0) // 2
-            == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=1)
-        ).astype(jnp.float32)
-        # Odd-dimension correction: with zero padding, the last valid output
-        # row/col of an odd input dimension sums one real sample instead of
-        # a replicated pair — scale it by 2 (2x2-mean edge replication).
-        rfac = jnp.float32(1.0)
-        cfac = jnp.float32(1.0)
-        h2 = (h + 1) // 2
-        w2 = (w + 1) // 2
-        if h_odd:
-            rid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 0) + row0 // 2
-            rfac = jnp.where(rid == h2 - 1, jnp.float32(2.0), jnp.float32(1.0))
-        if w_odd:
-            cid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 1) + col0 // 2
-            cfac = jnp.where(cid == w2 - 1, jnp.float32(2.0), jnp.float32(1.0))
+        def get_plane(img_idx, c):
+            return jax.lax.slice(
+                (a3, b3)[img_idx],
+                (c, ROW_HALO4, COL_HALO4),
+                (c + 1, ROW_HALO4 + tile_h, COL_HALO4 + tile_w),
+            )[0]
 
-        for img_idx, src in enumerate((a3, b3)):
-            for c in range(3):
-                q = jax.lax.slice(
-                    src,
-                    (c, ROW_HALO4, COL_HALO4),
-                    (c + 1, ROW_HALO4 + tile_h, COL_HALO4 + tile_w),
-                )[0]
-                rsum = q.reshape(dh, 2, tile_w).sum(axis=1)
-                if dh_p != dh:
-                    rsum = jnp.pad(rsum, ((0, dh_p - dh), (0, 0)))
-                quad = jax.lax.dot_general(
-                    rsum, s_cols,
-                    (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
-                ds_tile = quad * np.float32(0.25)
-                if h_odd or w_odd:
-                    ds_tile = ds_tile * rfac * cfac
-                slot_ = img_idx * 3 + c
-                ds_store[slot_] = ds_tile
-                dst_r = pl.multiple_of(ROW_HALO4 + row0 // 2, 8)
-                dst_c = pl.multiple_of(COL_HALO4 + col0 // 2, 128)
-                cp = pltpu.make_async_copy(
-                    ds_store.at[slot_],
-                    ds_ref.at[
-                        img_idx,
-                        p,
-                        c,
-                        pl.ds(dst_r, dh_p),
-                        pl.ds(dst_c, dw_p),
-                    ],
-                    ds_sems.at[img_idx, c],
-                )
-                cp.start()
-                ds_copies.append(cp)
+        ds_copies = _emit_ds_tiles(
+            ds_ref, ds_store, ds_sems, get_plane,
+            p=p, row0=row0, col0=col0, tile_h=tile_h, tile_w=tile_w,
+            h=h, w=w, h_odd=h_odd, w_odd=w_odd,
+        )
 
     # ---- XYB + blur + maps + sums (as v3) ----
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=0)
@@ -1186,55 +1252,7 @@ def _fused_scale_kernel_v4(
             )
         return _blur_w(qh, tp, COL_HALO4 - r, tile_w)
 
-    out_ref[...] = jnp.zeros_like(out_ref)
-    one = jnp.float32(1.0)
-    for c in range(3):
-        a = xyb_channel(0, c)
-        b = xyb_channel(1, c)
-        mu1, mu2, s_sum, s12 = (blur(q) for q in (a, b, a * a + b * b, a * b))
-
-        i1 = jax.lax.slice(
-            a, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
-        )
-        i2 = jax.lax.slice(
-            b, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
-        )
-
-        mu12 = mu1 * mu2
-        mu_diff = mu1 - mu2
-        num_m = one - mu_diff * mu_diff
-        num_s = jnp.float32(2.0) * (s12 - mu12) + C2
-        denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
-        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
-
-        aa = jnp.abs(i2 - mu2)
-        bb2 = jnp.abs(i1 - mu1)
-        d1m = (aa - bb2) / (one + bb2)
-        art = jnp.maximum(d1m, 0.0)
-        det = jnp.maximum(-d1m, 0.0)
-
-        mask = jax.lax.slice(
-            valid, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
-        )
-        d = d * mask
-        art = art * mask
-        det = det * mask
-        d2 = d * d
-        art2 = art * art
-        det2 = det * det
-        partial = jnp.stack(
-            [
-                jnp.sum(d),
-                jnp.sum(d2 * d2),
-                jnp.sum(art),
-                jnp.sum(art2 * art2),
-                jnp.sum(det),
-                jnp.sum(det2 * det2),
-                jnp.float32(0.0),
-                jnp.float32(0.0),
-            ]
-        )
-        out_ref[0, 0, 0, c, :] = partial
+    _maps_and_sums(out_ref, xyb_channel, blur, valid, tile_h, tile_w)
 
     for cp in ds_copies:
         cp.wait()
@@ -1416,56 +1434,18 @@ def _fused_scale0_yuv_kernel(
     # ---- exact downscale of the valid tile region into the next level ----
     ds_copies = []
     if emit_ds:
-        dh, dw = tile_h // 2, tile_w // 2
-        dh_p = _round_up(dh, 8)
-        dw_p = _round_up(dw, 128)
-        s_cols = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=0) // 2
-            == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=1)
-        ).astype(jnp.float32)
-        rfac = jnp.float32(1.0)
-        cfac = jnp.float32(1.0)
-        h2 = (h + 1) // 2
-        w2 = (w + 1) // 2
-        if h_odd:
-            rid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 0) + row0 // 2
-            rfac = jnp.where(rid == h2 - 1, jnp.float32(2.0), jnp.float32(1.0))
-        if w_odd:
-            cid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 1) + col0 // 2
-            cfac = jnp.where(cid == w2 - 1, jnp.float32(2.0), jnp.float32(1.0))
+        def get_plane(img_idx, c):
+            return jax.lax.slice(
+                rgbs[img_idx][c],
+                (ROW_HALO4, COL_HALO4),
+                (ROW_HALO4 + tile_h, COL_HALO4 + tile_w),
+            )
 
-        for img_idx in (0, 1):
-            for c in range(3):
-                q = jax.lax.slice(
-                    rgbs[img_idx][c],
-                    (ROW_HALO4, COL_HALO4),
-                    (ROW_HALO4 + tile_h, COL_HALO4 + tile_w),
-                )
-                rsum = q.reshape(dh, 2, tile_w).sum(axis=1)
-                if dh_p != dh:
-                    rsum = jnp.pad(rsum, ((0, dh_p - dh), (0, 0)))
-                quad = jax.lax.dot_general(
-                    rsum, s_cols,
-                    (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
-                ds_tile = quad * np.float32(0.25)
-                if h_odd or w_odd:
-                    ds_tile = ds_tile * rfac * cfac
-                slot_ = img_idx * 3 + c
-                ds_store[slot_] = ds_tile
-                dst_r = pl.multiple_of(ROW_HALO4 + row0 // 2, 8)
-                dst_c = pl.multiple_of(COL_HALO4 + col0 // 2, 128)
-                cp = pltpu.make_async_copy(
-                    ds_store.at[slot_],
-                    ds_ref.at[
-                        img_idx, p, c, pl.ds(dst_r, dh_p), pl.ds(dst_c, dw_p)
-                    ],
-                    ds_sems.at[img_idx, c],
-                )
-                cp.start()
-                ds_copies.append(cp)
+        ds_copies = _emit_ds_tiles(
+            ds_ref, ds_store, ds_sems, get_plane,
+            p=p, row0=row0, col0=col0, tile_h=tile_h, tile_w=tile_w,
+            h=h, w=w, h_odd=h_odd, w_odd=w_odd,
+        )
 
     # ---- XYB + blur + maps + sums (identical math to v4) ----
     def opsin_mix(rgb, row):
@@ -1509,55 +1489,7 @@ def _fused_scale0_yuv_kernel(
             )
         return _blur_w(qh, tp, COL_HALO4 - r, tile_w)
 
-    out_ref[...] = jnp.zeros_like(out_ref)
-    one = jnp.float32(1.0)
-    for c in range(3):
-        a = xyb_channel(0, c)
-        b = xyb_channel(1, c)
-        mu1, mu2, s_sum, s12 = (blur(q) for q in (a, b, a * a + b * b, a * b))
-
-        i1 = jax.lax.slice(
-            a, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
-        )
-        i2 = jax.lax.slice(
-            b, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
-        )
-
-        mu12 = mu1 * mu2
-        mu_diff = mu1 - mu2
-        num_m = one - mu_diff * mu_diff
-        num_s = jnp.float32(2.0) * (s12 - mu12) + C2
-        denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
-        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
-
-        aa = jnp.abs(i2 - mu2)
-        bb2 = jnp.abs(i1 - mu1)
-        d1m = (aa - bb2) / (one + bb2)
-        art = jnp.maximum(d1m, 0.0)
-        det = jnp.maximum(-d1m, 0.0)
-
-        mask = jax.lax.slice(
-            valid, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
-        )
-        d = d * mask
-        art = art * mask
-        det = det * mask
-        d2 = d * d
-        art2 = art * art
-        det2 = det * det
-        partial = jnp.stack(
-            [
-                jnp.sum(d),
-                jnp.sum(d2 * d2),
-                jnp.sum(art),
-                jnp.sum(art2 * art2),
-                jnp.sum(det),
-                jnp.sum(det2 * det2),
-                jnp.float32(0.0),
-                jnp.float32(0.0),
-            ]
-        )
-        out_ref[0, 0, 0, c, :] = partial
+    _maps_and_sums(out_ref, xyb_channel, blur, valid, tile_h, tile_w)
 
     for cp in ds_copies:
         cp.wait()
