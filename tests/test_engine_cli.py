@@ -281,3 +281,27 @@ def test_cli_10bit_pq_bt2020(tmp_path, rng, capsys):
     assert all(np.isfinite(s) for s in out["ssimulacra2"]["scores"])
     assert all(0 <= s <= 100 for s in out["ssimulacra2"]["scores"])
     assert all(s > 20 for s in out["psnr"]["scores"])
+
+
+def test_buffered_step_rebuilds_on_batch_change():
+    """Direct compute_frames callers may vary the batch between calls; the
+    donated-buffer fast path must rebuild its buffers, not crash deep in jit
+    (round-2 VERDICT item 8)."""
+    from turbo_metrics_tpu.engine import _BufferedStep
+
+    made = []
+
+    def make_bufs(bsz):
+        made.append(bsz)
+        return np.zeros((bsz, 4), np.float32)
+
+    def jfn(ref_arrays, dis_arrays, aux, bufs):
+        assert bufs.shape[0] == ref_arrays[0].shape[0]
+        return {"out": bufs.sum()}, bufs
+
+    step = _BufferedStep(jfn, make_bufs)
+    step((np.zeros((4, 8, 8)),), (np.zeros((4, 8, 8)),), {})
+    step((np.zeros((4, 8, 8)),), (np.zeros((4, 8, 8)),), {})
+    step((np.zeros((2, 8, 8)),), (np.zeros((2, 8, 8)),), {})
+    step((np.zeros((4, 8, 8)),), (np.zeros((4, 8, 8)),), {})
+    assert made == [4, 2, 4]

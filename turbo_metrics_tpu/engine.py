@@ -311,6 +311,31 @@ class _VmafFuser:
         s.vmaf = self.model.predict_one(feats)
 
 
+class _BufferedStep:
+    """Wraps a donated-buffer jitted step, threading the zero-initialised
+    padded/pyramid buffers through successive calls so XLA never
+    re-materialises them (docs/PERFORMANCE.md "threaded padded buffer").
+
+    The buffers are shaped for one batch size; when the incoming batch
+    differs from the cached one (a direct ``compute_frames`` caller may vary
+    it between calls — ``compute_all`` always pads to ``self.batch``), they
+    are rebuilt instead of crashing with a jit shape mismatch."""
+
+    def __init__(self, jfn, make_bufs):
+        self.jfn = jfn
+        self.make_bufs = make_bufs  # bsz -> fresh zero buffers
+        self.bufs = None
+        self.bsz: Optional[int] = None
+
+    def __call__(self, ref_arrays, dis_arrays, aux):
+        bsz = ref_arrays[0].shape[0]
+        if self.bufs is None or self.bsz != bsz:
+            self.bsz = bsz
+            self.bufs = self.make_bufs(bsz)
+        out, self.bufs = self.jfn(ref_arrays, dis_arrays, aux, self.bufs)
+        return out
+
+
 # --------------------------------------------------------------------------
 # Engine
 # --------------------------------------------------------------------------
@@ -500,34 +525,29 @@ class TurboMetrics:
 
                     jfn = jax.jit(fast_step_buf, donate_argnums=(3,))
                     _, _, _, _, hp, wp = pad_geom4(height, width)
-                    state = {"bufs": None}
 
-                    def fn(ref_arrays, dis_arrays, aux):
-                        if state["bufs"] is None:
-                            bsz = ref_arrays[0].shape[0]
-                            if use_yuv:
-                                state["bufs"] = [
+                    if use_yuv:
+                        def make_bufs(bsz):
+                            return [
+                                jnp.zeros(s, jnp.float32)
+                                for s in ds_buffer_shapes_yuv(
+                                    height, width, bsz, num_scales=num_scales
+                                )
+                            ]
+                    else:
+                        def make_bufs(bsz):
+                            return (
+                                jnp.zeros((2, bsz, 3, hp, wp), jnp.float32),
+                                [
                                     jnp.zeros(s, jnp.float32)
-                                    for s in ds_buffer_shapes_yuv(
+                                    for s in ds_buffer_shapes(
                                         height, width, bsz,
                                         num_scales=num_scales,
                                     )
-                                ]
-                            else:
-                                state["bufs"] = (
-                                    jnp.zeros((2, bsz, 3, hp, wp), jnp.float32),
-                                    [
-                                        jnp.zeros(s, jnp.float32)
-                                        for s in ds_buffer_shapes(
-                                            height, width, bsz,
-                                            num_scales=num_scales,
-                                        )
-                                    ],
-                                )
-                        out, state["bufs"] = jfn(
-                            ref_arrays, dis_arrays, aux, state["bufs"]
-                        )
-                        return out
+                                ],
+                            )
+
+                    fn = _BufferedStep(jfn, make_bufs)
                 else:
                     def fast_step(ref_arrays, dis_arrays, aux):
                         p12 = convert(ref_arrays, dis_arrays, None)
