@@ -142,3 +142,164 @@ def test_fast_eotf_forms_match_pow():
         assert err.max() < 2e-6, (exact.__name__, err.max())
         # branch threshold behaviour identical (lo branch is shared code)
         assert np.array_equal(a < 0, b < 0)
+
+
+# -- full-chroma 4:2:2/4:4:4 (round-3: the reference decimates to 4:2:0 --
+# NVDEC's only surface layout -- the TPU rebuild converts on the real grid)
+
+def _rgb_to_yuv444_full(rgb8, matrix="bt709"):
+    """Exact forward full-range YCbCr of an 8-bit gamma RGB image."""
+    kr, kb = cs.MATRIX_KR_KB[matrix]
+    kg = 1.0 - kr - kb
+    r, g, b = (rgb8[..., i].astype(np.float64) / 255.0 for i in range(3))
+    y = kr * r + kg * g + kb * b
+    cb = (b - y) / (2.0 * (1.0 - kb))
+    cr = (r - y) / (2.0 * (1.0 - kr))
+    y8 = np.clip(np.round(y * 255.0), 0, 255).astype(np.uint8)
+    cb8 = np.clip(np.round(cb * 255.0 + 128.0), 0, 255).astype(np.uint8)
+    cr8 = np.clip(np.round(cr * 255.0 + 128.0), 0, 255).astype(np.uint8)
+    return y8, cb8, cr8
+
+
+def _chroma_rich_rgb(h, w):
+    """Saturated red/blue column stripes: chroma flips every column, so 4:2:0
+    decimation destroys real signal."""
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[:, ::2, 0] = 200
+    rgb[:, 1::2, 2] = 200
+    rgb[..., 1] = 60
+    return rgb
+
+
+def _decimate_to_420(u, v):
+    q = lambda p: (
+        (p[::2, ::2].astype(np.uint32) + p[1::2, ::2] + p[::2, 1::2]
+         + p[1::2, 1::2] + 2) // 4
+    ).astype(np.uint8)
+    return q(u), q(v)
+
+
+def test_yuv444_conversion_beats_decimation():
+    h, w = 32, 64
+    rgb8 = _chroma_rich_rgb(h, w)
+    lin_true = np.asarray(cs.srgb_eotf(jnp.asarray(rgb8.astype(np.float32) / 255.0)))
+    lin_true = np.transpose(lin_true, (2, 0, 1))
+    y8, u8, v8 = _rgb_to_yuv444_full(rgb8)
+
+    uv444 = np.stack([u8, v8], axis=-1)
+    got444 = np.asarray(cs.yuv420_to_linear_rgb(
+        jnp.asarray(y8), jnp.asarray(uv444), depth=8, matrix="bt709",
+        transfer="srgb", full_range=True, chroma=444,
+    ))
+    u4, v4 = _decimate_to_420(u8, v8)
+    uv420 = np.stack([u4, v4], axis=-1)
+    got420 = np.asarray(cs.yuv420_to_linear_rgb(
+        jnp.asarray(y8), jnp.asarray(uv420), depth=8, matrix="bt709",
+        transfer="srgb", full_range=True, chroma=420,
+    ))
+    err444 = np.abs(got444 - lin_true).max()
+    err420 = np.abs(got420 - lin_true).max()
+    assert err444 < 0.02  # quantization-level only
+    assert err420 > 5 * err444  # decimation destroys the stripes
+
+
+def test_yuv422_conversion_shapes_and_grid():
+    h, w = 16, 24
+    rng = np.random.default_rng(7)
+    y8 = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    uv = rng.integers(0, 255, (h, (w + 1) // 2, 2), dtype=np.uint8)
+    out = np.asarray(cs.yuv420_to_linear_rgb(
+        jnp.asarray(y8), jnp.asarray(uv), depth=8, transfer="linear",
+        full_range=True, chroma=422,
+    ))
+    assert out.shape == (3, h, w)
+    # 4:2:2 keeps full vertical chroma: rows with distinct chroma stay
+    # distinct (a 4:2:0 upsample would pair them).
+    uv_c = np.zeros((h, (w + 1) // 2, 2), np.uint8)
+    uv_c[0, :, :] = 255
+    uv_c[1, :, :] = 0
+    y_flat = np.full((h, w), 128, np.uint8)
+    out2 = np.asarray(cs.yuv420_to_linear_rgb(
+        jnp.asarray(y_flat), jnp.asarray(uv_c), depth=8, transfer="linear",
+        full_range=True, chroma=422,
+    ))
+    assert not np.allclose(out2[:, 0], out2[:, 1])
+
+
+def test_engine_444_scores_closer_to_rgb_truth():
+    """End-to-end: a chroma-rich 4:4:4 pair scores much closer to the
+    direct-RGB ground truth than the 4:2:0-decimated path, and the two
+    differ measurably (the engine dispatches on ConvertSpec.chroma)."""
+    from turbo_metrics_tpu.color.characteristics import (
+        ColorCharacteristics, ColourPrimaries, MatrixCoefficients,
+        TransferCharacteristic,
+    )
+    from turbo_metrics_tpu.engine import Metrics, TurboMetrics
+    from turbo_metrics_tpu.io.frame_source import RawFrame
+
+    h, w = 48, 64
+    rng = np.random.default_rng(3)
+    ref_rgb = _chroma_rich_rgb(h, w)
+    # Chroma-targeted distortion: swap some stripe colours.
+    dis_rgb = ref_rgb.copy()
+    dis_rgb[:, ::4, 0] = 80
+    dis_rgb[:, ::4, 2] = 150
+
+    cc = (
+        ColorCharacteristics(
+            ColourPrimaries.BT709, MatrixCoefficients.BT709,
+            TransferCharacteristic.SRGB,
+        ),
+        "full",
+    )
+    eng = TurboMetrics(w, h, Metrics(ssimulacra2=True), batch=1)
+
+    def score(fr, fd):
+        return eng.compute_frames([fr], cc, [fd], cc)[0].ssimulacra2
+
+    truth = score(
+        RawFrame(rgb=ref_rgb, depth=8), RawFrame(rgb=dis_rgb, depth=8)
+    )
+
+    frames = {}
+    for name, rgb in (("ref", ref_rgb), ("dis", dis_rgb)):
+        y8, u8, v8 = _rgb_to_yuv444_full(rgb)
+        frames[name + "444"] = RawFrame(
+            y=y8, uv=np.stack([u8, v8], -1), depth=8, full_range=True,
+            chroma=444,
+        )
+        u4, v4 = _decimate_to_420(u8, v8)
+        frames[name + "420"] = RawFrame(
+            y=y8, uv=np.stack([u4, v4], -1), depth=8, full_range=True,
+            chroma=420,
+        )
+    s444 = score(frames["ref444"], frames["dis444"])
+    s420 = score(frames["ref420"], frames["dis420"])
+    assert abs(s444 - truth) < abs(s420 - truth)
+    assert abs(s444 - truth) < 1.5  # matrix+quantization roundtrip only
+    assert abs(s444 - s420) > 0.5  # decimation visibly moves the score
+
+
+def test_y4m_444_422_roundtrip(tmp_path, rng):
+    from turbo_metrics_tpu.io.y4m import Y4MFrameSource
+
+    w, h = 24, 16
+    for cs_name, chroma, cw, ch in (
+        ("444", 444, w, h), ("422", 422, w // 2, h), ("420", 420, w // 2, h // 2),
+    ):
+        y = rng.integers(0, 255, (h, w), dtype=np.uint8)
+        u = rng.integers(0, 255, (ch, cw), dtype=np.uint8)
+        v = rng.integers(0, 255, (ch, cw), dtype=np.uint8)
+        p = tmp_path / f"t{cs_name}.y4m"
+        with open(p, "wb") as f:
+            f.write(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cs_name}\n".encode())
+            f.write(b"FRAME\n")
+            f.write(y.tobytes()); f.write(u.tobytes()); f.write(v.tobytes())
+        src = Y4MFrameSource(open(p, "rb"), path=str(p))
+        fr = src.next_frame()
+        assert fr is not None and fr.chroma == chroma
+        assert fr.uv.shape == (ch, cw, 2)
+        np.testing.assert_array_equal(fr.y, y)
+        np.testing.assert_array_equal(fr.uv[..., 0], u)
+        assert src.next_frame() is None
+        src.close()

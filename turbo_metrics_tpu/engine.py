@@ -180,11 +180,12 @@ def merge_results(parts: list[MetricsResults]) -> MetricsResults:
 class ConvertSpec:
     """Static description of an input frame format -> linear RGB conversion."""
 
-    kind: str  # 'yuv420' | 'rgb'
+    kind: str  # 'yuv420' (any planar YUV; see chroma) | 'rgb'
     depth: int
     matrix: str
     transfer: str
     full_range: bool
+    chroma: int = 420  # 420 | 422 | 444 subsampling of the uv plane
 
     @classmethod
     def for_frame(
@@ -200,6 +201,7 @@ class ConvertSpec:
             matrix_name(cc),
             transfer_name(cc),
             crange == "full",
+            frame.chroma,
         )
 
 
@@ -211,7 +213,7 @@ def _convert_to_linear(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.
     elsewhere the jnp path keeps tests fast and exact."""
     if spec.kind == "yuv420":
         y, uv = arrays
-        if jax.default_backend() == "tpu":
+        if spec.chroma == 420 and jax.default_backend() == "tpu":
             from turbo_metrics_tpu.ops.pallas.convert import (
                 yuv420_to_linear_rgb_pallas,
             )
@@ -224,6 +226,8 @@ def _convert_to_linear(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.
                 transfer=spec.transfer,
                 full_range=spec.full_range,
             )
+        # Full-chroma 4:2:2/4:4:4 uses the jnp conversion on the real chroma
+        # grid — better than the reference, which decimates to NVDEC's 4:2:0.
         return colorspace.yuv420_to_linear_rgb(
             y,
             uv,
@@ -231,6 +235,7 @@ def _convert_to_linear(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.
             matrix=spec.matrix,
             transfer=spec.transfer,
             full_range=spec.full_range,
+            chroma=spec.chroma,
         )
     (rgb,) = arrays  # (B, H, W, 3) -> (B, 3, H, W)
     rgb = jnp.transpose(rgb, (0, 3, 1, 2))
@@ -430,6 +435,8 @@ class TurboMetrics:
                 only_s2
                 and spec_ref.kind == "yuv420"
                 and spec_dis.kind == "yuv420"
+                and spec_ref.chroma == 420
+                and spec_dis.chroma == 420
                 and jax.default_backend() == "tpu"
                 and padded_conversion_fits(self.height, self.width)
             ):

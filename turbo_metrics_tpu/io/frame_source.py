@@ -35,8 +35,11 @@ class RawFrame:
     """One decoded frame on the host, ready for device upload.
 
     Exactly one of the two layouts is populated:
-      * YUV 4:2:0: ``y`` (H, W) uint8/uint16 + ``uv`` (ceil(H/2), ceil(W/2), 2)
-        — the analog of the reference's NV12/P016 NvDec frames.
+      * Planar YUV: ``y`` (H, W) uint8/uint16 + ``uv`` (ch, cw, 2) chroma,
+        where (ch, cw) follows ``chroma``: 420 -> (ceil(H/2), ceil(W/2)),
+        422 -> (H, ceil(W/2)), 444 -> (H, W).  The reference is limited to
+        NVDEC's 4:2:0 surfaces (NV12/P016); here full-chroma sources keep
+        their chroma resolution all the way to the device conversion.
       * RGB: ``rgb`` (H, W, 3) uint8/uint16/float32 gamma-encoded — the analog
         of the reference's Npp8/16/32 image frames.
     """
@@ -46,9 +49,11 @@ class RawFrame:
     rgb: Optional[np.ndarray] = None
     depth: int = 8
     full_range: bool = False
+    chroma: int = 420  # 420 | 422 | 444 (4:0:0 ships neutral 420 chroma)
 
     @property
     def kind(self) -> str:
+        # Historical name: "yuv420" means "planar YUV" (see ``chroma``).
         return "rgb" if self.rgb is not None else "yuv420"
 
     @property

@@ -120,8 +120,9 @@ class NativeVideoSource(FrameSource):
     """FrameSource over the native libav decode shim.
 
     Handles any container/codec the system FFmpeg decodes (H.264, HEVC, AV1,
-    VP8/9, MPEG-2, ...), 8..16-bit, 4:2:0/4:2:2/4:4:4 (non-4:2:0 content is
-    converted to 4:2:0-compatible chroma by 2x2 averaging on the host).
+    VP8/9, MPEG-2, ...), 8..16-bit, 4:2:0/4:2:2/4:4:4 — full-chroma content
+    keeps its real chroma grid through to the device conversion (the
+    reference is limited to NVDEC's 4:2:0 surfaces).
     """
 
     def __init__(
@@ -280,23 +281,22 @@ class NativeVideoSource(FrameSource):
             raise RuntimeError(f"decode error ({ret})")
         y = self._ybuf.copy()
         u, v = self._ubuf, self._vbuf
+        chroma = 420
         if self._chroma == 400:
             neutral = 1 << (self._depth - 1)
             uv = np.full((*u.shape, 2), neutral, dtype=self._dtype)
         else:
-            if self._chroma == 422:  # vertical 2x average -> 4:2:0
-                hh = (u.shape[0] // 2) * 2
-                u = ((u[:hh:2].astype(np.uint32) + u[1:hh:2]) // 2).astype(self._dtype)
-                v = ((v[:hh:2].astype(np.uint32) + v[1:hh:2]) // 2).astype(self._dtype)
-            elif self._chroma == 444:  # 2x2 average -> 4:2:0
-                u = _down2(u).astype(self._dtype)
-                v = _down2(v).astype(self._dtype)
+            # 4:2:2/4:4:4 keep their full chroma grid: the device conversion
+            # upsamples on the real grid (ops/colorspace.py).  The reference
+            # cannot do this — NVDEC only outputs 4:2:0 surfaces.
+            chroma = self._chroma
             uv = np.stack([u, v], axis=-1)
         return RawFrame(
             y=y,
             uv=np.ascontiguousarray(uv),
             depth=self._depth,
             full_range=self.info.full_range == 1,
+            chroma=chroma,
         )
 
     # -- seeking (chunked decode) ------------------------------------------
@@ -361,7 +361,3 @@ class NativeVideoSource(FrameSource):
             pass
 
 
-def _down2(p: np.ndarray) -> np.ndarray:
-    h, w = (p.shape[0] // 2) * 2, (p.shape[1] // 2) * 2
-    q = p[:h, :w].astype(np.uint32)
-    return (q[::2, ::2] + q[1::2, ::2] + q[::2, 1::2] + q[1::2, 1::2] + 2) // 4

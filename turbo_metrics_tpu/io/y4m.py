@@ -25,10 +25,27 @@ _COLORSPACES = {
     "420p10": (10, "420"),
     "420p12": (12, "420"),
     "420p16": (16, "420"),
+    "422": (8, "422"),
+    "422p10": (10, "422"),
+    "422p12": (12, "422"),
+    "422p16": (16, "422"),
+    "444": (8, "444"),
+    "444p10": (10, "444"),
+    "444p12": (12, "444"),
+    "444p16": (16, "444"),
     "mono": (8, "mono"),
     "mono10": (10, "mono"),
     "mono12": (12, "mono"),
 }
+
+
+def _chroma_dims(subsampling: str, h: int, w: int) -> tuple[int, int]:
+    """(ch, cw) of one chroma plane for a subsampling mode."""
+    if subsampling == "444":
+        return h, w
+    if subsampling == "422":
+        return h, (w + 1) // 2
+    return (h + 1) // 2, (w + 1) // 2
 
 
 class Y4MFrameSource(FrameSource):
@@ -68,10 +85,11 @@ class Y4MFrameSource(FrameSource):
             raise ValueError("Y4M header missing dimensions")
         self._itemsize = 1 if self.depth == 8 else 2
         h, w = self._height, self._width
-        if self.subsampling == "420":
-            self._frame_bytes = (h * w + 2 * ((h + 1) // 2) * ((w + 1) // 2)) * self._itemsize
-        else:
+        if self.subsampling == "mono":
             self._frame_bytes = h * w * self._itemsize
+        else:
+            ch, cw = _chroma_dims(self.subsampling, h, w)
+            self._frame_bytes = (h * w + 2 * ch * cw) * self._itemsize
         self._count = self._count_frames(path)
 
     def _count_frames(self, path: Optional[str]) -> int:
@@ -118,16 +136,21 @@ class Y4MFrameSource(FrameSource):
         h, w = self._height, self._width
         buf = np.frombuffer(payload, dtype=dtype)
         y = buf[: h * w].reshape(h, w)
+        chroma = 420
         if self.subsampling == "mono":
             ch, cw = (h + 1) // 2, (w + 1) // 2
             neutral = 1 << (self.depth - 1)
             uv = np.full((ch, cw, 2), neutral, dtype=dtype)
         else:
-            ch, cw = (h + 1) // 2, (w + 1) // 2
+            chroma = int(self.subsampling)
+            ch, cw = _chroma_dims(self.subsampling, h, w)
             u = buf[h * w : h * w + ch * cw].reshape(ch, cw)
             v = buf[h * w + ch * cw :].reshape(ch, cw)
             uv = np.stack([u, v], axis=-1)
-        return RawFrame(y=y, uv=uv, depth=self.depth, full_range=self.full_range)
+        return RawFrame(
+            y=y, uv=uv, depth=self.depth, full_range=self.full_range,
+            chroma=chroma,
+        )
 
     def close(self) -> None:
         self._f.close()

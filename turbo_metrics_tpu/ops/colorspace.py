@@ -228,19 +228,26 @@ def yuv420_to_linear_rgb(
     matrix: str = "bt709",
     transfer: str = "bt709",
     full_range: bool = False,
+    chroma: int = 420,
     backend: str = "auto",
 ) -> jax.Array:
-    """Biplanar/planar 4:2:0 YCbCr -> linear RGB f32 in [0, 1].
+    """Planar YCbCr -> linear RGB f32 in [0, 1].
 
-    ``y``: (..., H, W) integer luma; ``uv``: (..., ceil(H/2), ceil(W/2), 2)
-    chroma (Cb, Cr).  Output: (..., 3, H, W) f32.
+    ``y``: (..., H, W) integer luma; ``uv``: (..., ch, cw, 2) chroma
+    (Cb, Cr) at the ``chroma`` subsampling's grid — 420: (ceil(H/2),
+    ceil(W/2)), 422: (H, ceil(W/2)), 444: (H, W).  Output: (..., 3, H, W)
+    f32.
 
     TPU-native equivalent of biplanaryuv420_to_linearrgb_* in
-    cuda-colorspace-kernel/src/biplanar.rs:8-70.  On TPU, batched 3-D inputs
-    dispatch to the fused Pallas kernel (ops/pallas/convert.py).
+    cuda-colorspace-kernel/src/biplanar.rs:8-70, extended to full-chroma
+    4:2:2/4:4:4 input (the reference decimates everything to NVDEC's 4:2:0
+    surfaces; the TPU rebuild decodes on the host and keeps the real chroma
+    grid).  On TPU, batched 3-D 4:2:0 inputs dispatch to the fused Pallas
+    kernel (ops/pallas/convert.py).
     """
     if (
         backend == "auto"
+        and chroma == 420
         and y.ndim == 3
         and jax.default_backend() == "tpu"
         and transfer in ("bt709", "srgb", "pq", "hlg", "linear")
@@ -268,9 +275,13 @@ def yuv420_to_linear_rgb(
     r_ = r_coeff * cr
     g_ = g_coeff1 * cb + g_coeff2 * cr
     b_ = b_coeff * cb
-    # Nearest-neighbour 2x chroma upsample (one pair per 2x2 luma block).
+    # Nearest-neighbour chroma upsample onto the luma grid (420: one pair
+    # per 2x2 luma block; 422: per 1x2 block; 444: already co-sited).
     def up(c):
-        c = jnp.repeat(jnp.repeat(c, 2, axis=-1), 2, axis=-2)
+        if chroma != 444:
+            c = jnp.repeat(c, 2, axis=-1)
+        if chroma == 420:
+            c = jnp.repeat(c, 2, axis=-2)
         return c[..., :h, :w]
 
     eotf = TRANSFERS[transfer]

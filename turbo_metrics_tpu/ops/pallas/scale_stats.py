@@ -954,6 +954,30 @@ def _band_matrix_wchunk(taps) -> np.ndarray:
     return m
 
 
+# Transposed W pass ('mxuT'): transpose the H-blurred tile so the lane axis
+# becomes the sublane axis, then blur with chunked LEFT band matmuls.  Chunk
+# windows on the sublane axis only need 8-alignment (not 128), so each
+# 128-output chunk reads a 144-row window — 144 MACs/output instead of the
+# lane-aligned right-multiply's 320 (_W_WIN), making even the f32-exact
+# HIGHEST W pass affordable on the MXU.
+_WT_CHUNK = 128  # output rows (blurred columns) per chunk
+_WT_WIN = 144  # 8-aligned input window: 128 outputs + 10 halo + align slack
+
+
+def _band_matrix_wt(taps) -> np.ndarray:
+    """(WT_CHUNK, WT_WIN) left band matrix for the transposed W pass: chunk
+    j yields blurred cols [128j, 128(j+1)) from transposed-input rows
+    [128j + COL_HALO4 - 8, ... + WT_WIN); the same matrix serves every
+    chunk."""
+    m = np.zeros((_WT_CHUNK, _WT_WIN), np.float32)
+    r = np.arange(_WT_CHUNK)
+    for k, t in enumerate(taps):
+        # Output col 128j+r = sum_k taps[k] * q[128j + r + COL_HALO4 - 5 + k]
+        # and the window starts at 128j + COL_HALO4 - 8.
+        m[r, r + 8 - RADIUS + k] = np.float32(t)
+    return m
+
+
 def _maps_and_sums(out_ref, xyb_channel, blur, valid, tile_h, tile_w):
     """Shared per-channel tail of the scale kernels: XYB pair -> 4 blurs
     (s11+s22 collapsed by linearity) -> modified-SSIM + edge-difference
@@ -1099,7 +1123,8 @@ def _fused_scale_kernel_v4(
     it = iter(refs)
     lin12_hbm = next(it)  # (2, B, 3, hp, wp): ref and dis stacked
     hmat = next(it)
-    wmat = next(it) if w_pass == "mxu3" else None  # (2, W_WIN, 128) bf16
+    # mxu3: (2, W_WIN, 128) bf16; mxuT: (128, 144) f32 or (2, 128, 144) bf16
+    wmat = next(it) if w_pass in ("mxu3", "mxuT") else None
     if emit_ds:
         _z = next(it)  # zeros-aliased ds buffer (consumed via the output)
     out_ref = next(it)
@@ -1250,6 +1275,28 @@ def _fused_scale_kernel_v4(
                 precision=prec,
                 preferred_element_type=jnp.float32,
             )
+        if w_pass == "mxuT":
+            # Transpose so the W blur becomes chunked LEFT band matmuls
+            # (144 MACs/output): the whole 2D blur rides the MXU with no
+            # lane rotations and, at 'highest', zero precision loss.
+            qt = qh.T  # (cols, tile_h)
+            chunks = []
+            for j in range(tile_w // _WT_CHUNK):
+                s = j * _WT_CHUNK + COL_HALO4 - 8
+                win = jax.lax.slice(qt, (s, 0), (s + _WT_WIN, tile_h))
+                if precision == "bf16x3":
+                    xhi, xlo = _split_bf16(win)
+                    chunks.append(
+                        _dot3(wmat[0], wmat[1], xhi, xlo, ((1,), (0,)))
+                    )
+                else:
+                    chunks.append(jax.lax.dot_general(
+                        wmat[...], win,
+                        (((1,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32,
+                    ))
+            return jnp.concatenate(chunks, axis=0).T
         return _blur_w(qh, tp, COL_HALO4 - r, tile_w)
 
     _maps_and_sums(out_ref, xyb_channel, blur, valid, tile_h, tile_w)
@@ -1947,6 +1994,20 @@ def fused_scale_pallas_v4(
         in_specs.append(
             pl.BlockSpec((2, _W_WIN, _W_CHUNK), lambda p, th, tw: (0, 0, 0))
         )
+    elif w_pass == "mxuT":
+        wt = _band_matrix_wt(taps)
+        if precision == "bf16x3":
+            inputs.append(jnp.asarray(_split_bf16_np(wt)))
+            in_specs.append(
+                pl.BlockSpec(
+                    (2, _WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0, 0)
+                )
+            )
+        else:
+            inputs.append(jnp.asarray(wt))
+            in_specs.append(
+                pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0))
+            )
     out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
     out_specs = [
         pl.BlockSpec(
