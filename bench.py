@@ -36,6 +36,37 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _decode_clip_frames(n: int):
+    """Decode ``n`` ref/dis frame pairs from a real encoded 1080p clip
+    (encoding + decoding happen once, outside the timed loop; the clips are
+    the same procedural MPEG-2 TS pair bench_e2e.py uses, cached on disk)."""
+    from bench_e2e import CACHE, NFRAMES, make_clip, open_source
+
+    ref_path = os.path.join(CACHE, f"e2e_ref_{W}x{H}_{NFRAMES}.ts")
+    dis_path = os.path.join(CACHE, f"e2e_dis_{W}x{H}_{NFRAMES}.ts")
+    for path, seed in ((ref_path, 1), (dis_path, 2)):
+        if not os.path.exists(path):
+            t0 = time.perf_counter()
+            make_clip(path, seed=seed)
+            log(f"bench: encoded {path} in {time.perf_counter()-t0:.1f}s")
+    out = []
+    for path in (ref_path, dis_path):
+        src = open_source(path, 1)
+        ys, uvs = [], []
+        while len(ys) < n:
+            f = src.get_frame()
+            if f is None:
+                break
+            ys.append(f.y)
+            uvs.append(f.uv)
+        src.close()
+        if len(ys) < n:
+            raise RuntimeError(f"clip too short: {len(ys)} < {n} frames")
+        out += [np.stack(ys), np.stack(uvs)]
+    log(f"bench: decoded {n} real frame pairs from {ref_path}")
+    return tuple(out)
+
+
 def main() -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     import jax
@@ -103,29 +134,46 @@ def main() -> int:
         fn = jax.jit(step)
     stack = jax.jit(lambda xs: jnp.stack(xs))
 
-    rng = np.random.default_rng(0)
-    yy, xx = np.mgrid[0:H, 0:W]
-    base = (128 + 64 * np.sin(xx / 37.0) * np.cos(yy / 23.0)).astype(np.uint8)
-    y_ref = np.stack([np.roll(base, 7 * i, axis=1) for i in range(batch)])
-    uv_ref = rng.integers(100, 156, (batch, H // 2, W // 2, 2), dtype=np.uint8)
-    y_dis = np.clip(
-        y_ref.astype(np.int16) + rng.integers(-6, 7, y_ref.shape), 0, 255
-    ).astype(np.uint8)
-
-    # Two device-resident input sets, alternated so no result caching helps.
-    sets = []
-    for shift in (0, 3):
-        sets.append(
+    if "--clip" in sys.argv[1:]:
+        # Real-clip mode: decode an encoded 1080p clip once (host decode is
+        # NOT timed — this isolates the same device pipeline, fed with real
+        # decoded frames instead of synthetic rolled noise).
+        y_all, uv_all, yd_all, uvd_all = _decode_clip_frames(2 * batch)
+        halves = [slice(0, batch), slice(batch, 2 * batch)]
+        sets = [
             tuple(
                 jax.device_put(a)
-                for a in (
-                    np.roll(y_ref, shift, axis=2),
-                    uv_ref,
-                    np.roll(y_dis, shift, axis=2),
-                    uv_ref,
+                for a in (y_all[s], uv_all[s], yd_all[s], uvd_all[s])
+            )
+            for s in halves
+        ]
+    else:
+        rng = np.random.default_rng(0)
+        yy, xx = np.mgrid[0:H, 0:W]
+        base = (128 + 64 * np.sin(xx / 37.0) * np.cos(yy / 23.0)).astype(np.uint8)
+        y_ref = np.stack([np.roll(base, 7 * i, axis=1) for i in range(batch)])
+        uv_ref = rng.integers(100, 156, (batch, H // 2, W // 2, 2), dtype=np.uint8)
+        y_dis = np.clip(
+            y_ref.astype(np.int16) + rng.integers(-6, 7, y_ref.shape), 0, 255
+        ).astype(np.uint8)
+
+        # Two device-resident input sets, alternated so no result caching
+        # helps.
+        sets = []
+        for shift in (0, 3):
+            sets.append(
+                tuple(
+                    jax.device_put(a)
+                    for a in (
+                        np.roll(y_ref, shift, axis=2),
+                        uv_ref,
+                        np.roll(y_dis, shift, axis=2),
+                        uv_ref,
+                    )
                 )
             )
-        )
+    y_ref, uv_ref, y_dis = (np.asarray(a) for a in sets[0][:3])
+    uv_ref = np.asarray(uv_ref)
     jax.block_until_ready(sets)
 
     t0 = time.perf_counter()

@@ -149,3 +149,20 @@ def test_golden_score_frozen():
     engine = Ssimulacra2(w, h)
     got_device = engine.score_pair(lin_ref, lin_dis)
     assert got_device == pytest.approx(GOLDEN, abs=0.05)
+
+
+def test_score_monotone_in_distortion(rng):
+    """Published invariant: more distortion, lower score (used as an
+    algorithm-level sanity anchor; docs/VALIDATION.md)."""
+    from turbo_metrics_tpu.models.ssimulacra2 import Ssimulacra2
+
+    h, w = 64, 96
+    base = rng.random((3, h, w), dtype=np.float64).astype(np.float32) * 0.6 + 0.2
+    s2 = Ssimulacra2(w, h)
+    scores = []
+    for sigma in (0.0, 0.01, 0.04, 0.12):
+        noise = rng.normal(0, sigma, base.shape).astype(np.float32)
+        dis = np.clip(base + noise, 0, 1)
+        scores.append(s2.score_pair(base, dis))
+    assert scores[0] == 100.0
+    assert all(a > b for a, b in zip(scores, scores[1:]))

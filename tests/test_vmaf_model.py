@@ -241,3 +241,51 @@ def test_cli_vmaf_model(tmp_path, rng, capsys):
     assert "vmaf" in obj and len(obj["vmaf"]["scores"]) == 1
     assert 0.0 <= obj["vmaf"]["scores"][0] <= 100.0
     assert "vmaf_vif_scale0" in obj
+
+
+def test_real_model_if_present():
+    """Validates the genuine vmaf_v0.6.1.json when vendored (see
+    turbo_metrics_tpu/models/data/README.md — the build environment has no
+    network egress, so the file cannot ship pre-fetched; this test activates
+    automatically once a user drops it in)."""
+    import os
+
+    from turbo_metrics_tpu.models.vmaf_model import _DATA_DIR
+
+    path = os.path.join(_DATA_DIR, "vmaf_v0.6.1.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("genuine vmaf_v0.6.1.json not vendored (no-egress build)")
+    m = VmafModel.load(path)
+    assert m.name == "vmaf_v0.6.1"
+    assert set(m.feature_names) == {
+        "adm2", "motion2", "vif_scale0", "vif_scale1", "vif_scale2",
+        "vif_scale3",
+    }
+    assert m.svm.kernel == "rbf" and len(m.svm.coef) > 100
+    # Perfect-quality features -> score near 100 (libvmaf clips to [0, 100]).
+    perfect = {
+        "adm2": 1.0, "motion2": 0.0, "vif_scale0": 1.0, "vif_scale1": 1.0,
+        "vif_scale2": 1.0, "vif_scale3": 1.0,
+    }
+    s = m.predict_one(perfect)
+    assert 95.0 <= s <= 100.0
+
+
+def test_default_model_discovery_data_dir(tmp_path, monkeypatch):
+    """find_default_model prefers the in-package data dir (vendored model)."""
+    import json as _json
+    import os
+
+    import turbo_metrics_tpu.models.vmaf_model as vm
+
+    monkeypatch.delenv("TM_VMAF_MODEL", raising=False)
+    p = tmp_path / "vmaf_v0.6.1.json"
+    p.write_text(_json.dumps(fixture_model_dict()))
+    monkeypatch.setattr(
+        vm, "DEFAULT_MODEL_PATHS", (str(p),) + vm.DEFAULT_MODEL_PATHS
+    )
+    assert vm.find_default_model() == str(p)
+    m = VmafModel.load(vm.find_default_model())
+    assert m.name == "vmaf_v0.6.1"

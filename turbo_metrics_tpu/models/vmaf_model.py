@@ -74,7 +74,15 @@ _NAME_PATTERNS = [
     (re.compile(r"vif(?!_scale)"), "vif"),
 ]
 
+# Vendored-model drop-in location (first match wins): see
+# turbo_metrics_tpu/models/data/README.md for the one-command fetch of the
+# BSD-2-Clause-Plus-Patent upstream vmaf_v0.6.1.json.  The build environment
+# for this repo has no network egress, so the file cannot ship pre-fetched;
+# once present, `-m vmaf` emits the fused score with no flags.
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
 DEFAULT_MODEL_PATHS = (
+    os.path.join(_DATA_DIR, "vmaf_v0.6.1.json"),
     "/usr/local/share/model/vmaf_v0.6.1.json",
     "/usr/share/model/vmaf_v0.6.1.json",
     "/usr/local/share/vmaf/model/vmaf_v0.6.1.json",

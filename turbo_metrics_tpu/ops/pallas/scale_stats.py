@@ -978,19 +978,39 @@ def _band_matrix_wt(taps) -> np.ndarray:
     return m
 
 
-def _maps_and_sums(out_ref, xyb_channel, blur, valid, tile_h, tile_w):
+def _maps_and_sums(
+    out_ref, xyb_channel, blur, valid, tile_h, tile_w, blur_all=None
+):
     """Shared per-channel tail of the scale kernels: XYB pair -> 4 blurs
     (s11+s22 collapsed by linearity) -> modified-SSIM + edge-difference
-    maps -> masked partial sums into out_ref[0,0,0,c,:]."""
+    maps -> masked partial sums into out_ref[0,0,0,c,:].
+
+    With ``blur_all`` (the packed MXU engine) all 12 blur quantities go
+    through the blur stage together — few large matmuls instead of 12x
+    small ones."""
     out_ref[...] = jnp.zeros_like(out_ref)
     one = jnp.float32(1.0)
     mask = jax.lax.slice(
         valid, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
     )
+    xybs = []
+    blurred = None
+    if blur_all is not None:
+        quantities = []
+        for c in range(3):
+            a = xyb_channel(0, c)
+            b = xyb_channel(1, c)
+            xybs.append((a, b))
+            quantities += [a, b, a * a + b * b, a * b]
+        blurred = blur_all(quantities)
     for c in range(3):
-        a = xyb_channel(0, c)
-        b = xyb_channel(1, c)
-        mu1, mu2, s_sum, s12 = (blur(q) for q in (a, b, a * a + b * b, a * b))
+        if blurred is not None:
+            a, b = xybs[c]
+            mu1, mu2, s_sum, s12 = blurred[4 * c : 4 * c + 4]
+        else:
+            a = xyb_channel(0, c)
+            b = xyb_channel(1, c)
+            mu1, mu2, s_sum, s12 = (blur(q) for q in (a, b, a * a + b * b, a * b))
 
         i1 = jax.lax.slice(
             a, (ROW_HALO4, COL_HALO4), (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
@@ -1123,8 +1143,9 @@ def _fused_scale_kernel_v4(
     it = iter(refs)
     lin12_hbm = next(it)  # (2, B, 3, hp, wp): ref and dis stacked
     hmat = next(it)
-    # mxu3: (2, W_WIN, 128) bf16; mxuT: (128, 144) f32 or (2, 128, 144) bf16
-    wmat = next(it) if w_pass in ("mxu3", "mxuT") else None
+    # mxu3/mxuP: (W_WIN, 128) f32 or (2, W_WIN, 128) bf16;
+    # mxuT: (128, 144) f32 or (2, 128, 144) bf16
+    wmat = next(it) if w_pass in ("mxu3", "mxuT", "mxuP") else None
     if emit_ds:
         _z = next(it)  # zeros-aliased ds buffer (consumed via the output)
     out_ref = next(it)
@@ -1299,7 +1320,52 @@ def _fused_scale_kernel_v4(
             return jnp.concatenate(chunks, axis=0).T
         return _blur_w(qh, tp, COL_HALO4 - r, tile_w)
 
-    _maps_and_sums(out_ref, xyb_channel, blur, valid, tile_h, tile_w)
+    def _h_pass(q):
+        if precision == "bf16x3":
+            qhi, qlo = _split_bf16(q)
+            return _dot3(hmat[0], hmat[1], qhi, qlo, ((1,), (0,)))
+        return jax.lax.dot_general(
+            hmat[...], q,
+            (((1,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+
+    def blur_all(qs):
+        # Packed MXU engine ('mxuP'): H pass per quantity (fat-N banded
+        # matmul), then ALL quantities stacked along the sublane axis so
+        # each 128-aligned W chunk is ONE (n*tile_h, W_WIN) @ (W_WIN, 128)
+        # matmul — 8 large matmuls per pass instead of 12x8 small ones
+        # (small-matmul issue overhead dominated the mxu3/mxuT variants).
+        p_all = jnp.concatenate([_h_pass(q) for q in qs], axis=0)
+        nrows = len(qs) * tile_h
+        if precision == "bf16x3":
+            phi, plo = _split_bf16(p_all)
+        chunks = []
+        for j in range(tile_w // _W_CHUNK):
+            s = j * _W_CHUNK
+            if precision == "bf16x3":
+                xh = jax.lax.slice(phi, (0, s), (nrows, s + _W_WIN))
+                xl = jax.lax.slice(plo, (0, s), (nrows, s + _W_WIN))
+                chunks.append(_dot3(xh, xl, wmat[0], wmat[1], ((1,), (0,))))
+            else:
+                xw = jax.lax.slice(p_all, (0, s), (nrows, s + _W_WIN))
+                chunks.append(jax.lax.dot_general(
+                    xw, wmat[...],
+                    (((1,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32,
+                ))
+        wfull = jnp.concatenate(chunks, axis=1)
+        return [
+            jax.lax.slice(wfull, (i * tile_h, 0), ((i + 1) * tile_h, tile_w))
+            for i in range(len(qs))
+        ]
+
+    _maps_and_sums(
+        out_ref, xyb_channel, blur, valid, tile_h, tile_w,
+        blur_all=blur_all if w_pass == "mxuP" else None,
+    )
 
     for cp in ds_copies:
         cp.wait()
@@ -1989,11 +2055,22 @@ def fused_scale_pallas_v4(
     else:
         inputs.append(jnp.asarray(hmat))
         in_specs.append(pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)))
-    if w_pass == "mxu3":
-        inputs.append(jnp.asarray(_split_bf16_np(_band_matrix_wchunk(taps))))
-        in_specs.append(
-            pl.BlockSpec((2, _W_WIN, _W_CHUNK), lambda p, th, tw: (0, 0, 0))
-        )
+    if w_pass in ("mxu3", "mxuP"):
+        wc = _band_matrix_wchunk(taps)
+        # mxu3's W stage always uses the manual bf16 3-pass split; mxuP at
+        # 'highest' keeps the f32 matrix (Mosaic's own 6-pass decomposition).
+        if w_pass == "mxu3" or precision == "bf16x3":
+            inputs.append(jnp.asarray(_split_bf16_np(wc)))
+            in_specs.append(
+                pl.BlockSpec(
+                    (2, _W_WIN, _W_CHUNK), lambda p, th, tw: (0, 0, 0)
+                )
+            )
+        else:
+            inputs.append(jnp.asarray(wc))
+            in_specs.append(
+                pl.BlockSpec((_W_WIN, _W_CHUNK), lambda p, th, tw: (0, 0))
+            )
     elif w_pass == "mxuT":
         wt = _band_matrix_wt(taps)
         if precision == "bf16x3":
