@@ -1052,6 +1052,300 @@ def _maps_and_sums(
         )
 
 
+def _tapsum_kappa(taps) -> float:
+    """Exact post-blur rescale for the 2-limb tap representation.
+
+    The variance/covariance maps are (linear blur) - (bilinear mu products),
+    so they are NOT invariant to the blur's tap sum: a filter-sum
+    perturbation eps biases var by ~ -eps * mu^2 against C2 ~ 9e-4, and the
+    score's measured sensitivity is ~0.05 per 1.3e-6 of tap-sum delta.  The
+    2-limb bf16 taps sum to s_2l != the f32 taps' sum, so the blurred pack
+    is rescaled by (s_f32 / s_2l)^2 (both separable passes), matching the
+    oracle's effective filter sum to f64 accuracy; the remaining per-tap
+    shape difference (~2^-17, sum-matched) is harmless."""
+    import ml_dtypes
+
+    t = np.asarray(taps, np.float32)
+    hi = t.astype(ml_dtypes.bfloat16).astype(np.float64)
+    lo = (t - hi.astype(np.float32)).astype(ml_dtypes.bfloat16).astype(np.float64)
+    s2l = (hi + lo).sum()
+    sf = t.astype(np.float64).sum()
+    return float((sf / s2l) ** 2)
+
+
+def _split2(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    h = x.astype(jnp.bfloat16)
+    l = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, l
+
+
+def _split3(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    h = x.astype(jnp.bfloat16)
+    r = x - h.astype(jnp.float32)
+    m = r.astype(jnp.bfloat16)
+    l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
+
+
+def _maps_and_sums_consistent(
+    out_ref, xyb_channel, hmat2, wt2, valid, maskT, tile_h, tile_w,
+    rows, cols, kappa,
+):
+    """Consistent-limb packed MXU blur ('mxuC'): HIGHEST-class accuracy at
+    bf16-pass cost.
+
+    The manual bf16 3-pass blur drifts 0.01-0.03 at score level because the
+    SSIM covariances/variances are *differences* of blurred quantities: any
+    data-dependent rounding between the blur inputs breaks the cancellation
+    and eps ~ 2^-17 input rounding is amplified by fullscale/variance.  The
+    fix here is exact consistency, not higher precision everywhere:
+
+      * each xyb quantity is replaced by its exact 2-limb bf16 value
+        ah = hi + lo, and ah is used EVERYWHERE (interiors, products);
+      * the H pass computes blur(ah) EXACTLY with 4 bf16 passes
+        (hi/lo x hmat hi/lo; every bf16 x bf16 product is exact in f32);
+      * the products ah^2 + bh^2, ah*bh (f32, 2^-24) enter H via their
+        exact 3-limb split — 5 passes, dropping only the 2^-25 limb2 x lo
+        term;
+      * the W pass must be exact-linear on the arbitrary-f32 H output, so
+        it uses a 3-limb split x 2-limb band (5 passes) — and runs on the
+        TRANSPOSED pack, where chunk windows need only 8-alignment:
+        144 MACs/output instead of the lane-aligned 320.
+
+    Every blurred quantity is then (blur-with-2-limb-taps applied exactly)
+    + O(2^-24), so all cancellations hold to f32 accuracy; the 2^-17 tap
+    perturbation is a consistent filter change, which cancellations are
+    algebraically immune to.  Maps and sums run in the transposed
+    orientation (sums are orientation-free), avoiding 12 back-transposes.
+    """
+    out_ref[...] = jnp.zeros_like(out_ref)
+    one = jnp.float32(1.0)
+    hm0, hm1 = hmat2[0], hmat2[1]  # (tile_h, rows) bf16 limbs
+    w0, w1 = wt2[0], wt2[1]  # (WT_CHUNK, WT_WIN) bf16 limbs
+    dims = (((1,), (0,)), ((), ()))
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32
+        )
+
+    # Group A: 2-limb xyb quantities, consistent values ah.
+    a0s, a1s, ahs = [], [], []
+    for c in range(3):
+        for idx in (0, 1):
+            h0, l0 = _split2(xyb_channel(idx, c))
+            a0s.append(h0)
+            a1s.append(l0)
+            ahs.append(h0.astype(jnp.float32) + l0.astype(jnp.float32))
+    # Group B: products of consistent values, exact 3-limb split.
+    b0s, b1s, b2s = [], [], []
+    for c in range(3):
+        ah, bh = ahs[2 * c], ahs[2 * c + 1]
+        for q in (ah * ah + bh * bh, ah * bh):
+            q0, q1, q2 = _split3(q)
+            b0s.append(q0)
+            b1s.append(q1)
+            b2s.append(q2)
+
+    # H pass: fat lane-packed matmuls (9 total for all 12 quantities).
+    pa0 = jnp.concatenate(a0s, axis=1)  # (rows, 6*cols) bf16
+    pa1 = jnp.concatenate(a1s, axis=1)
+    ha = dot(hm0, pa0) + dot(hm0, pa1) + dot(hm1, pa0) + dot(hm1, pa1)
+    pb0 = jnp.concatenate(b0s, axis=1)
+    pb1 = jnp.concatenate(b1s, axis=1)
+    pb2 = jnp.concatenate(b2s, axis=1)
+    hb = (
+        dot(hm0, pb0) + dot(hm0, pb1) + dot(hm0, pb2)
+        + dot(hm1, pb0) + dot(hm1, pb1)
+    )
+
+    # Repack quantity segments along sublanes; ONE transpose for the W pass.
+    segs = [
+        jax.lax.slice(ha, (0, i * cols), (tile_h, (i + 1) * cols))
+        for i in range(6)
+    ] + [
+        jax.lax.slice(hb, (0, i * cols), (tile_h, (i + 1) * cols))
+        for i in range(6)
+    ]
+    pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*tile_h)
+    t0, t1, t2 = _split3(pt)
+    nq = 12 * tile_h
+    chunks = []
+    for j in range(tile_w // _WT_CHUNK):
+        s = j * _WT_CHUNK + COL_HALO4 - 8
+
+        def sl(t, s=s):
+            return jax.lax.slice(t, (s, 0), (s + _WT_WIN, nq))
+
+        x0, x1, x2 = sl(t0), sl(t1), sl(t2)
+        chunks.append(
+            dot(w0, x0) + dot(w0, x1) + dot(w0, x2)
+            + dot(w1, x0) + dot(w1, x1)
+        )
+    # (tile_w, 12*tile_h); kappa matches the 2-limb filter's sum to the
+    # oracle's f32 taps (see _tapsum_kappa).
+    wt_out = jnp.concatenate(chunks, axis=0) * jnp.float32(kappa)
+
+    def bq(i):  # blurred quantity i, transposed (tile_w, tile_h)
+        return jax.lax.slice(
+            wt_out, (0, i * tile_h), (tile_w, (i + 1) * tile_h)
+        )
+
+    # Interiors of the consistent values, transposed in one go.
+    ints = jnp.concatenate(
+        [
+            jax.lax.slice(
+                ah,
+                (ROW_HALO4, COL_HALO4),
+                (ROW_HALO4 + tile_h, COL_HALO4 + tile_w),
+            )
+            for ah in ahs
+        ],
+        axis=0,
+    ).T  # (tile_w, 6*tile_h)
+
+    def iq(i):
+        return jax.lax.slice(
+            ints, (0, i * tile_h), (tile_w, (i + 1) * tile_h)
+        )
+
+    for c in range(3):
+        mu1, mu2 = bq(2 * c), bq(2 * c + 1)
+        s_sum, s12 = bq(6 + 2 * c), bq(6 + 2 * c + 1)
+        i1, i2 = iq(2 * c), iq(2 * c + 1)
+
+        mu12 = mu1 * mu2
+        mu_diff = mu1 - mu2
+        num_m = one - mu_diff * mu_diff
+        num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+        denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+
+        aa = jnp.abs(i2 - mu2)
+        bb2 = jnp.abs(i1 - mu1)
+        d1m = (aa - bb2) / (one + bb2)
+        art = jnp.maximum(d1m, 0.0)
+        det = jnp.maximum(-d1m, 0.0)
+
+        d = d * maskT
+        art = art * maskT
+        det = det * maskT
+        d2 = d * d
+        art2 = art * art
+        det2 = det * det
+        out_ref[0, 0, 0, c, :] = jnp.stack(
+            [
+                jnp.sum(d),
+                jnp.sum(d2 * d2),
+                jnp.sum(art),
+                jnp.sum(art2 * art2),
+                jnp.sum(det),
+                jnp.sum(det2 * det2),
+                jnp.float32(0.0),
+                jnp.float32(0.0),
+            ]
+        )
+
+
+def _maps_and_sums_centered(
+    out_ref, xyb_channel, blur_all, blur_exact, valid, tile_h, tile_w
+):
+    """Centered-statistics variant of _maps_and_sums: every blurred quantity
+    is centered by a per-tile per-channel constant before the blur, and the
+    maps are computed with the algebraically equivalent centered formulas.
+
+    Why: the SSIM denominators/covariances are *differences* of blurred
+    quantities (variance-scale results from full-scale inputs), so a blur
+    engine with relative error eps produces map errors of eps * fullscale /
+    variance — catastrophic amplification for the manual 3-pass bf16 MXU
+    blur (eps ~ 1.5e-5, measured 0.01-0.03 at score level uncentered).
+    Centering makes every blurred quantity (and every cancellation) scale
+    with the LOCAL signal amplitude, so the same eps lands at ~1e-3 score
+    level.  In exact arithmetic the formulas are identical for any choice of
+    centers.
+
+    The one quantity whose error would not shrink — blur(valid), whose
+    (1 - bV) factor multiplies center-sized constants — goes through
+    ``blur_exact`` (f32 lane-rotation VPU path; it is position-only data and
+    exact there), so e = 1 - bV is exact and vanishes on interior tiles.
+    """
+    out_ref[...] = jnp.zeros_like(out_ref)
+    one = jnp.float32(1.0)
+    lo = (ROW_HALO4, COL_HALO4)
+    hi = (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+    mask = jax.lax.slice(valid, lo, hi)
+    bv = blur_exact(valid)  # (tile_h, tile_w), exact f32
+    e = one - bv
+
+    quantities = []
+    xybs = []
+    centers = []
+    for c in range(3):
+        a_full = xyb_channel(0, c)
+        b_full = xyb_channel(1, c)
+        # Any constant is algebraically exact; the tile mean keeps the
+        # centered magnitudes (and the bf16 limb error) near the local
+        # signal scale.
+        c1 = jnp.mean(a_full)
+        c2 = jnp.mean(b_full)
+        at = (a_full - c1) * valid
+        bt = (b_full - c2) * valid
+        xybs.append((at, bt))
+        centers.append((c1, c2))
+        quantities += [at, bt, at * at + bt * bt, at * bt]
+    blurred = blur_all(quantities)
+
+    for c in range(3):
+        at, bt = xybs[c]
+        c1, c2 = centers[c]
+        bA, bB, bS, bP = blurred[4 * c : 4 * c + 4]
+
+        i1 = jax.lax.slice(at, lo, hi)
+        i2 = jax.lax.slice(bt, lo, hi)
+
+        # mu1 = bA + c1*bv, mu2 = bB + c2*bv (never formed: the maps only
+        # need the centered combinations below).
+        mu_diff = bA - bB + (c1 - c2) * bv
+        num_m = one - mu_diff * mu_diff
+        # s12 - mu1*mu2 (exact expansion; e = 1 - bv vanishes interior)
+        cov = bP - bA * bB + e * (c2 * bA + c1 * bB) + (c1 * c2) * bv * e
+        num_s = jnp.float32(2.0) * cov + C2
+        # s_sum - mu1^2 - mu2^2
+        var2 = (
+            bS - bA * bA - bB * bB
+            + e * (jnp.float32(2.0) * (c1 * bA + c2 * bB))
+            + (c1 * c1 + c2 * c2) * bv * e
+        )
+        denom_s = var2 + C2
+        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+
+        # |i2 - mu2| with i2 = it2 + c2*mask, mu2 = bB + c2*bv
+        aa = jnp.abs(i2 - bB + c2 * (mask - bv))
+        bb2 = jnp.abs(i1 - bA + c1 * (mask - bv))
+        d1m = (aa - bb2) / (one + bb2)
+        art = jnp.maximum(d1m, 0.0)
+        det = jnp.maximum(-d1m, 0.0)
+
+        d = d * mask
+        art = art * mask
+        det = det * mask
+        d2 = d * d
+        art2 = art * art
+        det2 = det * det
+        out_ref[0, 0, 0, c, :] = jnp.stack(
+            [
+                jnp.sum(d),
+                jnp.sum(d2 * d2),
+                jnp.sum(art),
+                jnp.sum(art2 * art2),
+                jnp.sum(det),
+                jnp.sum(det2 * det2),
+                jnp.float32(0.0),
+                jnp.float32(0.0),
+            ]
+        )
+
+
 def _emit_ds_tiles(
     ds_ref, ds_store, ds_sems, get_plane, *,
     p, row0, col0, tile_h, tile_w, h, w, h_odd, w_odd,
@@ -1129,6 +1423,7 @@ def _fused_scale_kernel_v4(
     newton: bool,
     w_pass: str,
     cbrt: str,
+    centered: bool,
 ):
     """One pyramid level: XYB + 4-blur + maps + sums, plus (emit_ds) the
     exact 2x2-mean downscale of the linear tile written straight into the
@@ -1145,7 +1440,7 @@ def _fused_scale_kernel_v4(
     hmat = next(it)
     # mxu3/mxuP: (W_WIN, 128) f32 or (2, W_WIN, 128) bf16;
     # mxuT: (128, 144) f32 or (2, 128, 144) bf16
-    wmat = next(it) if w_pass in ("mxu3", "mxuT", "mxuP") else None
+    wmat = next(it) if w_pass in ("mxu3", "mxuT", "mxuP", "mxuC") else None
     if emit_ds:
         _z = next(it)  # zeros-aliased ds buffer (consumed via the output)
     out_ref = next(it)
@@ -1249,7 +1544,7 @@ def _fused_scale_kernel_v4(
 
     mixes = [(opsin_mix(t, 0), opsin_mix(t, 1)) for t in (a3, b3)]
 
-    def xyb_channel(idx, c):
+    def xyb_channel(idx, c, masked=True):
         rg, gr = mixes[idx]
         if c == 0:
             val = (rg - gr) * np.float32(0.5) * np.float32(14.0) + np.float32(0.42)
@@ -1258,7 +1553,7 @@ def _fused_scale_kernel_v4(
         else:
             y = (rg + gr) * np.float32(0.5)
             val = opsin_mix((a3, b3)[idx], 2) - y + np.float32(0.55)
-        return val * valid
+        return val * valid if masked else val
 
     tp = [jnp.float32(v) for v in taps]
 
@@ -1362,10 +1657,29 @@ def _fused_scale_kernel_v4(
             for i in range(len(qs))
         ]
 
-    _maps_and_sums(
-        out_ref, xyb_channel, blur, valid, tile_h, tile_w,
-        blur_all=blur_all if w_pass == "mxuP" else None,
-    )
+    if w_pass == "mxuC":
+        gxT = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_h), 0) + col0
+        gyT = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_h), 1) + row0
+        maskT = ((gyT < h) & (gxT < w)).astype(jnp.float32)
+        _maps_and_sums_consistent(
+            out_ref, xyb_channel, hmat, wmat, valid, maskT,
+            tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
+        )
+    elif centered:
+        def blur_exact(q):
+            qh = _blur_h(q, tp, ROW_HALO4 - r, tile_h)
+            return _blur_w(qh, tp, COL_HALO4 - r, tile_w)
+
+        _maps_and_sums_centered(
+            out_ref,
+            lambda i, c: xyb_channel(i, c, masked=False),
+            blur_all, blur_exact, valid, tile_h, tile_w,
+        )
+    else:
+        _maps_and_sums(
+            out_ref, xyb_channel, blur, valid, tile_h, tile_w,
+            blur_all=blur_all if w_pass == "mxuP" else None,
+        )
 
     for cp in ds_copies:
         cp.wait()
@@ -2012,6 +2326,7 @@ def fused_scale_pallas_v4(
     newton: bool = True,
     w_pass: str = "vpu",
     cbrt: str = "fastnr",
+    centered: bool = False,
     ds_buf: jax.Array | None = None,
     interpret: bool = False,
 ):
@@ -2024,6 +2339,10 @@ def fused_scale_pallas_v4(
     """
     two, bsz = lin12_padded.shape[0], lin12_padded.shape[1]
     assert two == 2
+    assert not centered or w_pass == "mxuP", (
+        "centered statistics pair with the packed MXU blur engine"
+    )
+    assert w_pass != "mxuC" or not centered, "mxuC is consistent by itself"
     tile_h, tile_w, nth, ntw, hp, wp = pad_geom4(h, w)
     # With multiple row tiles, the (8-aligned) downscale staging tile of one
     # tile must not overlap the next tile's destination rows: tile_h//2 must
@@ -2047,7 +2366,7 @@ def fused_scale_pallas_v4(
     hmat = _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)
     inputs = [lin12_padded]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-    if precision == "bf16x3":
+    if precision == "bf16x3" or w_pass == "mxuC":
         inputs.append(jnp.asarray(_split_bf16_np(hmat)))
         in_specs.append(
             pl.BlockSpec((2, tile_h, rows), lambda p, th, tw: (0, 0, 0))
@@ -2055,7 +2374,14 @@ def fused_scale_pallas_v4(
     else:
         inputs.append(jnp.asarray(hmat))
         in_specs.append(pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)))
-    if w_pass in ("mxu3", "mxuP"):
+    if w_pass == "mxuC":
+        inputs.append(jnp.asarray(_split_bf16_np(_band_matrix_wt(taps))))
+        in_specs.append(
+            pl.BlockSpec(
+                (2, _WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0, 0)
+            )
+        )
+    elif w_pass in ("mxu3", "mxuP"):
         wc = _band_matrix_wchunk(taps)
         # mxu3's W stage always uses the manual bf16 3-pass split; mxuP at
         # 'highest' keeps the f32 matrix (Mosaic's own 6-pass decomposition).
@@ -2142,6 +2468,7 @@ def fused_scale_pallas_v4(
         newton=newton,
         w_pass=w_pass,
         cbrt=cbrt,
+        centered=centered,
     )
     outs = pl.pallas_call(
         kernel,
