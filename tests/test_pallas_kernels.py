@@ -188,3 +188,76 @@ def test_pair_conversion_matches_two_calls(rng):
         jnp.asarray(y[1]), jnp.asarray(uv[1]), p, 1, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(pair), np.asarray(p))
+
+
+@pytest.mark.parametrize("depth", [8, 10])
+@pytest.mark.parametrize("w_pass", ["vpu", "mxuC"])
+def test_fused_yuv_scale0_interpret(rng, depth, w_pass):
+    """v5 conversion-fused scale 0 (raw-chroma limb upsample, round 3) vs
+    the producer + v4 path, per blur engine.  Interpret-mode fp contraction
+    differs between the two graphs at ~1e-7 relative (bit-identical on
+    chip), so the gate is loose-but-tight."""
+    from turbo_metrics_tpu.ops import colorspace
+    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+        fused_scale0_yuv_pallas,
+        fused_scale_pallas_v4,
+        fused_yuv_ok,
+        norms_from_sums,
+        pad_to_layout4,
+    )
+
+    h, w, b = 72, 256, 1
+    assert fused_yuv_ok(h, w)
+    hi = (1 << depth) - 1
+    dtype = np.uint8 if depth == 8 else np.uint16
+    y2 = rng.integers(0, hi, (2, b, h, w), dtype=np.uint16).astype(dtype)
+    uv2 = rng.integers(
+        0, hi, (2, b, (h + 1) // 2, (w + 1) // 2, 2), dtype=np.uint16
+    ).astype(dtype)
+
+    sums, ds = fused_scale0_yuv_pallas(
+        jnp.asarray(y2), jnp.asarray(uv2), h, w,
+        depth=depth, full_range=True, emit_ds=True,
+        w_pass=w_pass, interpret=True,
+    )
+    lin = colorspace.yuv420_to_linear_rgb(
+        jnp.asarray(y2.reshape(2 * b, h, w)),
+        jnp.asarray(uv2.reshape(2 * b, (h + 1) // 2, (w + 1) // 2, 2)),
+        depth=depth, full_range=True, backend="jnp",
+    ).reshape(2, b, 3, h, w)
+    p12 = pad_to_layout4(lin, h, w)
+    ref_sums, ref_ds = fused_scale_pallas_v4(
+        p12, h, w, emit_ds=True, w_pass=w_pass,
+        interpret=True,
+    )
+    n = np.asarray(norms_from_sums(sums, h * w))
+    nref = np.asarray(norms_from_sums(ref_sums, h * w))
+    np.testing.assert_allclose(n, nref, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(ds), np.asarray(ref_ds), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_mxuC_engine_matches_default(rng):
+    """The consistent-limb packed MXU blur engine ('mxuC', round 3) must
+    track the exact default engine at the 1e-6 norm level (its design
+    guarantees f32-level consistency; docs/PERFORMANCE.md round 3)."""
+    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+        fused_scale_pallas_v4,
+        norms_from_sums,
+        pad_to_layout4,
+    )
+
+    h, w, b = 72, 200, 2
+    lin1 = rng.random((b, 3, h, w), dtype=np.float64).astype(np.float32)
+    lin2 = np.clip(
+        lin1 + rng.normal(0, 0.05, lin1.shape).astype(np.float32), 0, 1
+    )
+    p12 = pad_to_layout4(jnp.stack([jnp.asarray(lin1), jnp.asarray(lin2)]), h, w)
+    base, _ = fused_scale_pallas_v4(p12, h, w, emit_ds=False, interpret=True)
+    got, _ = fused_scale_pallas_v4(
+        p12, h, w, emit_ds=False, w_pass="mxuC", interpret=True
+    )
+    nb = np.asarray(norms_from_sums(base, h * w))
+    ng = np.asarray(norms_from_sums(got, h * w))
+    assert np.abs(ng - nb).max() < 3e-6

@@ -227,13 +227,15 @@ def ssimulacra2_subscores_from_yuv(
     full_range: bool = False,
     ds_bufs: Optional[list] = None,
     interpret: bool = False,
+    **kernel_kwargs,
 ):
     """Sub-scores straight from (2, B, h, w) luma + (2, B, ch, cw, 2)
     chroma: scale 0 runs conversion-fused (scale_stats.
     fused_scale0_yuv_pallas — full-resolution linear RGB never exists in
     HBM), remaining levels consume its emitted padded chain.  Bit-identical
     on TPU to the producer + v4 path; gate availability with
-    scale_stats.fused_yuv_ok(h, w)."""
+    scale_stats.fused_yuv_ok(h, w).  ``kernel_kwargs`` (w_pass, precision,
+    cbrt) select the blur engine for every level."""
     from turbo_metrics_tpu.ops.pallas.scale_stats import (
         fused_scale0_yuv_pallas,
         norms_from_sums,
@@ -245,7 +247,7 @@ def ssimulacra2_subscores_from_yuv(
         y2, uv2, h, w,
         depth=depth, matrix=matrix, transfer=transfer,
         full_range=full_range,
-        emit_ds=emit, ds_buf=ds0, interpret=interpret,
+        emit_ds=emit, ds_buf=ds0, interpret=interpret, **kernel_kwargs,
     )
     per0 = norms_from_sums(sums0, h * w)[:, :, None]  # (B, 3, 1, 2, 3)
     if not emit:
@@ -254,7 +256,7 @@ def ssimulacra2_subscores_from_yuv(
         ds12, (h + 1) // 2, (w + 1) // 2,
         num_scales=num_scales - 1,
         ds_bufs=ds_bufs[1:] if ds_bufs is not None else None,
-        interpret=interpret,
+        interpret=interpret, **kernel_kwargs,
     )
     if ds_bufs is not None:
         rest, ds_rest = rest

@@ -1704,6 +1704,8 @@ def _fused_scale0_yuv_kernel(
     minimum: float,
     neutral: float,
     transfer: str,
+    w_pass: str,
+    depth: int,
 ):
     """v5: scale 0 straight from padded u8 YUV planes — the conversion
     (range offsets, matrix, exact chunked one-hot chroma upsample, EOTF,
@@ -1718,6 +1720,7 @@ def _fused_scale0_yuv_kernel(
     u_hbm = next(it)  # (2, B, HP_C, WP_C) u8, origin (4, 64)
     v_hbm = next(it)
     hmat = next(it)
+    wmat = next(it) if w_pass == "mxuC" else None  # (2, 128, 144) bf16
     if emit_ds:
         _z = next(it)
     out_ref = next(it)
@@ -1805,16 +1808,25 @@ def _fused_scale0_yuv_kernel(
         == jax.lax.broadcasted_iota(jnp.int32, (128, 256), dimension=1) // 2
     ).astype(jnp.bfloat16)
 
+    # Raw integer chroma is exactly representable in 1 bf16 limb at 8-bit
+    # depth (|c| <= 128) and 2 limbs at 10..16-bit, so upsampling the RAW
+    # neutral-offset chroma and applying the matrix coefficients AFTER is
+    # bit-identical to the old coefficient-first 3-limb form at 1/4.5 the
+    # matmul cost (2 planes x <=2 limbs instead of 3 planes x 3 limbs).
+    n_limbs = 1 if depth <= 8 else 2
+
     def up(c):
-        # Exact 3-limb bf16 one-hot upsample; the column pass is chunked
+        # Exact limb-split bf16 one-hot upsample; the column pass is chunked
         # over 128-aligned chroma stripes (each output pair-of-lanes needs
         # exactly one chroma lane, so chunks need no halo).
-        hi = c.astype(jnp.bfloat16)
-        r1 = c - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        limbs = []
+        x = c
+        for _ in range(n_limbs):
+            hi = x.astype(jnp.bfloat16)
+            limbs.append(hi)
+            x = x - hi.astype(jnp.float32)
         acc = None
-        for limb in (hi, mid, lo):
+        for limb in limbs:
             t = jax.lax.dot_general(
                 up_rows, limb, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1850,9 +1862,11 @@ def _fused_scale0_yuv_kernel(
         ) * y_coeff
         cb = tu[slot, img].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
         cr = tv[slot, img].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
-        r_ = up(r_coeff * cr)
-        g_ = up(g_coeff1 * cb + g_coeff2 * cr)
-        b_ = up(b_coeff * cb)
+        ucb = up(cb)
+        ucr = up(cr)
+        r_ = r_coeff * ucr
+        g_ = g_coeff1 * ucb + g_coeff2 * ucr
+        b_ = b_coeff * ucb
         rgbs.append(tuple(
             jnp.clip(eotf(luma + c_), 0.0, 1.0) * valid
             for c_ in (r_, g_, b_)
@@ -1890,7 +1904,7 @@ def _fused_scale0_yuv_kernel(
 
     mixes = [(opsin_mix(rgb, 0), opsin_mix(rgb, 1)) for rgb in rgbs]
 
-    def xyb_channel(idx, c):
+    def xyb_channel(idx, c, masked=True):
         rg, gr = mixes[idx]
         if c == 0:
             val = (rg - gr) * np.float32(0.5) * np.float32(14.0) + np.float32(0.42)
@@ -1899,7 +1913,7 @@ def _fused_scale0_yuv_kernel(
         else:
             y = (rg + gr) * np.float32(0.5)
             val = opsin_mix(rgbs[idx], 2) - y + np.float32(0.55)
-        return val * valid
+        return val * valid if masked else val
 
     tp = [jnp.float32(v) for v in taps]
 
@@ -1916,7 +1930,16 @@ def _fused_scale0_yuv_kernel(
             )
         return _blur_w(qh, tp, COL_HALO4 - r, tile_w)
 
-    _maps_and_sums(out_ref, xyb_channel, blur, valid, tile_h, tile_w)
+    if w_pass == "mxuC":
+        gxT = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_h), 0) + col0
+        gyT = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_h), 1) + row0
+        maskT = ((gyT < h) & (gxT < w)).astype(jnp.float32)
+        _maps_and_sums_consistent(
+            out_ref, xyb_channel, hmat, wmat, valid, maskT,
+            tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
+        )
+    else:
+        _maps_and_sums(out_ref, xyb_channel, blur, valid, tile_h, tile_w)
 
     for cp in ds_copies:
         cp.wait()
@@ -1934,6 +1957,7 @@ def fused_scale0_yuv_pallas(
     full_range: bool = False,
     emit_ds: bool = True,
     precision: str = "highest",
+    w_pass: str = "vpu",
     cbrt: str = "fastnr",
     ds_buf: jax.Array | None = None,
     interpret: bool = False,
@@ -2003,7 +2027,7 @@ def fused_scale0_yuv_pallas(
     inputs = [yp, up_, vp_]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
     hmat = _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)
-    if precision == "bf16x3":
+    if precision == "bf16x3" or w_pass == "mxuC":
         inputs.append(jnp.asarray(_split_bf16_np(hmat)))
         in_specs.append(
             pl.BlockSpec((2, tile_h, rows), lambda p, th, tw: (0, 0, 0))
@@ -2011,6 +2035,13 @@ def fused_scale0_yuv_pallas(
     else:
         inputs.append(jnp.asarray(hmat))
         in_specs.append(pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)))
+    if w_pass == "mxuC":
+        inputs.append(jnp.asarray(_split_bf16_np(_band_matrix_wt(taps))))
+        in_specs.append(
+            pl.BlockSpec(
+                (2, _WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0, 0)
+            )
+        )
 
     out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
     out_specs = [
@@ -2066,6 +2097,8 @@ def fused_scale0_yuv_pallas(
         minimum=float(rng.minimum),
         neutral=float(rng.neutral),
         transfer=transfer,
+        w_pass=w_pass,
+        depth=depth,
     )
     outs = pl.pallas_call(
         kernel,
