@@ -254,7 +254,11 @@ def test_mxuC_engine_matches_default(rng):
         lin1 + rng.normal(0, 0.05, lin1.shape).astype(np.float32), 0, 1
     )
     p12 = pad_to_layout4(jnp.stack([jnp.asarray(lin1), jnp.asarray(lin2)]), h, w)
-    base, _ = fused_scale_pallas_v4(p12, h, w, emit_ds=False, interpret=True)
+    # Baseline: the f32-exact engine (H MXU HIGHEST + VPU W sweep).
+    base, _ = fused_scale_pallas_v4(
+        p12, h, w, emit_ds=False, w_pass="vpu", precision="highest",
+        interpret=True,
+    )
     got, _ = fused_scale_pallas_v4(
         p12, h, w, emit_ds=False, w_pass="mxuC", interpret=True
     )

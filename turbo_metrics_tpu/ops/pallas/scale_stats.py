@@ -1088,7 +1088,7 @@ def _split3(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
 
 
 def _maps_and_sums_consistent(
-    out_ref, xyb_channel, hmat2, wt2, valid, maskT, tile_h, tile_w,
+    out_ref, xyb_channel, hmat2, wt2, valid, tile_h, tile_w,
     rows, cols, kappa,
 ):
     """Consistent-limb packed MXU blur ('mxuC'): HIGHEST-class accuracy at
@@ -1115,8 +1115,13 @@ def _maps_and_sums_consistent(
     Every blurred quantity is then (blur-with-2-limb-taps applied exactly)
     + O(2^-24), so all cancellations hold to f32 accuracy; the 2^-17 tap
     perturbation is a consistent filter change, which cancellations are
-    algebraically immune to.  Maps and sums run in the transposed
-    orientation (sums are orientation-free), avoiding 12 back-transposes.
+    algebraically immune to (up to the filter-sum quadratic term, matched
+    by kappa).  The blurred pack is transposed BACK before the maps: in the
+    transposed orientation every per-quantity array is (tile_w, tile_h
+    = 64) — half-empty vregs — and the ~25-op map math at 50% lane
+    utilization measured 2 ms/b4, a third of the whole kernel.  One big
+    back-transpose restores full-lane (tile_h, tile_w) maps and lets the
+    interiors/mask come straight from the natural-orientation arrays.
     """
     out_ref[...] = jnp.zeros_like(out_ref)
     one = jnp.float32(1.0)
@@ -1182,32 +1187,21 @@ def _maps_and_sums_consistent(
             dot(w0, x0) + dot(w0, x1) + dot(w0, x2)
             + dot(w1, x0) + dot(w1, x1)
         )
-    # (tile_w, 12*tile_h); kappa matches the 2-limb filter's sum to the
-    # oracle's f32 taps (see _tapsum_kappa).
-    wt_out = jnp.concatenate(chunks, axis=0) * jnp.float32(kappa)
+    # kappa matches the 2-limb filter's sum to the oracle's f32 taps (see
+    # _tapsum_kappa); the back-transpose restores full-lane orientation.
+    wt_nat = (jnp.concatenate(chunks, axis=0) * jnp.float32(kappa)).T
 
-    def bq(i):  # blurred quantity i, transposed (tile_w, tile_h)
+    def bq(i):  # blurred quantity i, natural (tile_h, tile_w)
         return jax.lax.slice(
-            wt_out, (0, i * tile_h), (tile_w, (i + 1) * tile_h)
+            wt_nat, (i * tile_h, 0), ((i + 1) * tile_h, tile_w)
         )
 
-    # Interiors of the consistent values, transposed in one go.
-    ints = jnp.concatenate(
-        [
-            jax.lax.slice(
-                ah,
-                (ROW_HALO4, COL_HALO4),
-                (ROW_HALO4 + tile_h, COL_HALO4 + tile_w),
-            )
-            for ah in ahs
-        ],
-        axis=0,
-    ).T  # (tile_w, 6*tile_h)
+    lo = (ROW_HALO4, COL_HALO4)
+    hi_ = (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+    mask = jax.lax.slice(valid, lo, hi_)
 
-    def iq(i):
-        return jax.lax.slice(
-            ints, (0, i * tile_h), (tile_w, (i + 1) * tile_h)
-        )
+    def iq(i):  # interior of the consistent value, natural orientation
+        return jax.lax.slice(ahs[i], lo, hi_)
 
     for c in range(3):
         mu1, mu2 = bq(2 * c), bq(2 * c + 1)
@@ -1227,9 +1221,9 @@ def _maps_and_sums_consistent(
         art = jnp.maximum(d1m, 0.0)
         det = jnp.maximum(-d1m, 0.0)
 
-        d = d * maskT
-        art = art * maskT
-        det = det * maskT
+        d = d * mask
+        art = art * mask
+        det = det * mask
         d2 = d * d
         art2 = art * art
         det2 = det * det
@@ -1658,11 +1652,8 @@ def _fused_scale_kernel_v4(
         ]
 
     if w_pass == "mxuC":
-        gxT = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_h), 0) + col0
-        gyT = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_h), 1) + row0
-        maskT = ((gyT < h) & (gxT < w)).astype(jnp.float32)
         _maps_and_sums_consistent(
-            out_ref, xyb_channel, hmat, wmat, valid, maskT,
+            out_ref, xyb_channel, hmat, wmat, valid,
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
         )
     elif centered:
@@ -1931,11 +1922,8 @@ def _fused_scale0_yuv_kernel(
         return _blur_w(qh, tp, COL_HALO4 - r, tile_w)
 
     if w_pass == "mxuC":
-        gxT = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_h), 0) + col0
-        gyT = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_h), 1) + row0
-        maskT = ((gyT < h) & (gxT < w)).astype(jnp.float32)
         _maps_and_sums_consistent(
-            out_ref, xyb_channel, hmat, wmat, valid, maskT,
+            out_ref, xyb_channel, hmat, wmat, valid,
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
         )
     else:
@@ -1957,7 +1945,7 @@ def fused_scale0_yuv_pallas(
     full_range: bool = False,
     emit_ds: bool = True,
     precision: str = "highest",
-    w_pass: str = "vpu",
+    w_pass: str = "mxuC",
     cbrt: str = "fastnr",
     ds_buf: jax.Array | None = None,
     interpret: bool = False,
@@ -2357,7 +2345,7 @@ def fused_scale_pallas_v4(
     emit_ds: bool,
     precision: str = "highest",
     newton: bool = True,
-    w_pass: str = "vpu",
+    w_pass: str = "mxuC",
     cbrt: str = "fastnr",
     centered: bool = False,
     ds_buf: jax.Array | None = None,
