@@ -1350,14 +1350,10 @@ def _emit_ds_tiles(
     dh, dw = tile_h // 2, tile_w // 2
     dh_p = _round_up(dh, 8)
     dw_p = _round_up(dw, 128)
-    # One-hot selector is exact in bf16; the 3-limb rsum split is an exact
-    # f32 decomposition, so 3 bf16 passes reproduce HIGHEST's f32-exact
-    # result at half the MXU cost (the ds matmuls were ~40% of the
-    # kernel's MACs at HIGHEST).
     s_cols = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=0) // 2
         == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=1)
-    ).astype(jnp.bfloat16)
+    ).astype(jnp.float32)
     # Odd-dimension correction: with zero padding, the last valid output
     # row/col of an odd input dimension sums one real sample instead of a
     # replicated pair — scale it by 2 (2x2-mean edge replication).
@@ -1379,17 +1375,11 @@ def _emit_ds_tiles(
             rsum = q.reshape(dh, 2, tile_w).sum(axis=1)
             if dh_p != dh:
                 rsum = jnp.pad(rsum, ((0, dh_p - dh), (0, 0)))
-            r0, r1, r2 = _split3(rsum)
-            quad = (
-                jax.lax.dot_general(
-                    r0, s_cols, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    r1, s_cols, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    r2, s_cols, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            quad = jax.lax.dot_general(
+                rsum, s_cols,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
             )
             ds_tile = quad * np.float32(0.25)
             if h_odd or w_odd:
@@ -2234,7 +2224,7 @@ def _fused_tail_kernel(
             s_cols = (
                 jax.lax.broadcasted_iota(jnp.int32, (2 * wn, dw_p), 0) // 2
                 == jax.lax.broadcasted_iota(jnp.int32, (2 * wn, dw_p), 1)
-            ).astype(jnp.bfloat16)
+            ).astype(jnp.float32)
             rfac = jnp.float32(1.0)
             cfac = jnp.float32(1.0)
             if lh % 2:
@@ -2251,17 +2241,11 @@ def _fused_tail_kernel(
                         (8 + 2 * hn, 128 + 2 * wn),
                     )
                     rsum = q.reshape(hn, 2, 2 * wn).sum(axis=1)
-                    r0, r1, r2 = _split3(rsum)
-                    quad = (
-                        jax.lax.dot_general(
-                            r0, s_cols, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        + jax.lax.dot_general(
-                            r1, s_cols, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        + jax.lax.dot_general(
-                            r2, s_cols, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                    quad = jax.lax.dot_general(
+                        rsum, s_cols,
+                        (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
                     )
                     ds = quad * np.float32(0.25)
                     if lh % 2 or lw % 2:
