@@ -1241,6 +1241,105 @@ def _maps_and_sums_consistent(
         )
 
 
+def _maps_and_sums_exact_mxu(
+    out_ref, xyb_channel, hmatf, wtf, valid, tile_h, tile_w, rows, cols
+):
+    """All-HIGHEST packed MXU blur ('mxuX'): exact f32 blur with ZERO manual
+    limb splits.
+
+    Both separable passes ride the MXU at Precision.HIGHEST (Mosaic's own
+    f32-exact decomposition), packed so each pass is a handful of large
+    matmuls: H is ONE (tile_h, rows) x (rows, 12*cols) dot over the
+    lane-packed quantities; W runs on the transposed pack in 128-output
+    chunks whose 8-aligned windows need only 144 MACs/output — the shape
+    discovery that makes HIGHEST affordable here where the lane-aligned
+    320-MAC chunks (mxuP/highest) were not.  Compared to 'mxuC' this trades
+    ~25% more (largely latency-hidden) MXU passes for all of the VPU limb
+    splitting, exactness bookkeeping and the kappa rescale."""
+    out_ref[...] = jnp.zeros_like(out_ref)
+    one = jnp.float32(1.0)
+    hmatf = hmatf[...]
+    wtf = wtf[...]
+    dims = (((1,), (0,)), ((), ()))
+
+    def doth(a, b):
+        return jax.lax.dot_general(
+            a, b, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    xybs = []
+    quantities = []
+    for c in range(3):
+        a = xyb_channel(0, c)
+        b = xyb_channel(1, c)
+        xybs.append((a, b))
+        quantities += [a, b, a * a + b * b, a * b]
+
+    pack = jnp.concatenate(quantities, axis=1)  # (rows, 12*cols)
+    hp = doth(hmatf, pack)  # (tile_h, 12*cols)
+    segs = [
+        jax.lax.slice(hp, (0, i * cols), (tile_h, (i + 1) * cols))
+        for i in range(12)
+    ]
+    pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*tile_h)
+    nq = 12 * tile_h
+    chunks = []
+    for j in range(tile_w // _WT_CHUNK):
+        s = j * _WT_CHUNK + COL_HALO4 - 8
+        win = jax.lax.slice(pt, (s, 0), (s + _WT_WIN, nq))
+        chunks.append(doth(wtf, win))
+    wt_nat = jnp.concatenate(chunks, axis=0).T  # (12*tile_h, tile_w)
+
+    def bq(i):
+        return jax.lax.slice(
+            wt_nat, (i * tile_h, 0), ((i + 1) * tile_h, tile_w)
+        )
+
+    lo = (ROW_HALO4, COL_HALO4)
+    hi_ = (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+    mask = jax.lax.slice(valid, lo, hi_)
+
+    for c in range(3):
+        a, b = xybs[c]
+        mu1, mu2 = bq(4 * c), bq(4 * c + 1)
+        s_sum, s12 = bq(4 * c + 2), bq(4 * c + 3)
+        i1 = jax.lax.slice(a, lo, hi_)
+        i2 = jax.lax.slice(b, lo, hi_)
+
+        mu12 = mu1 * mu2
+        mu_diff = mu1 - mu2
+        num_m = one - mu_diff * mu_diff
+        num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+        denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+
+        aa = jnp.abs(i2 - mu2)
+        bb2 = jnp.abs(i1 - mu1)
+        d1m = (aa - bb2) / (one + bb2)
+        art = jnp.maximum(d1m, 0.0)
+        det = jnp.maximum(-d1m, 0.0)
+
+        d = d * mask
+        art = art * mask
+        det = det * mask
+        d2 = d * d
+        art2 = art * art
+        det2 = det * det
+        out_ref[0, 0, 0, c, :] = jnp.stack(
+            [
+                jnp.sum(d),
+                jnp.sum(d2 * d2),
+                jnp.sum(art),
+                jnp.sum(art2 * art2),
+                jnp.sum(det),
+                jnp.sum(det2 * det2),
+                jnp.float32(0.0),
+                jnp.float32(0.0),
+            ]
+        )
+
+
 def _maps_and_sums_centered(
     out_ref, xyb_channel, blur_all, blur_exact, valid, tile_h, tile_w
 ):
@@ -1434,7 +1533,7 @@ def _fused_scale_kernel_v4(
     hmat = next(it)
     # mxu3/mxuP: (W_WIN, 128) f32 or (2, W_WIN, 128) bf16;
     # mxuT: (128, 144) f32 or (2, 128, 144) bf16
-    wmat = next(it) if w_pass in ("mxu3", "mxuT", "mxuP", "mxuC") else None
+    wmat = next(it) if w_pass in ("mxu3", "mxuT", "mxuP", "mxuC", "mxuX") else None
     if emit_ds:
         _z = next(it)  # zeros-aliased ds buffer (consumed via the output)
     out_ref = next(it)
@@ -1656,6 +1755,11 @@ def _fused_scale_kernel_v4(
             out_ref, xyb_channel, hmat, wmat, valid,
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
         )
+    elif w_pass == "mxuX":
+        _maps_and_sums_exact_mxu(
+            out_ref, xyb_channel, hmat, wmat, valid,
+            tile_h, tile_w, rows, cols,
+        )
     elif centered:
         def blur_exact(q):
             qh = _blur_h(q, tp, ROW_HALO4 - r, tile_h)
@@ -1711,7 +1815,8 @@ def _fused_scale0_yuv_kernel(
     u_hbm = next(it)  # (2, B, HP_C, WP_C) u8, origin (4, 64)
     v_hbm = next(it)
     hmat = next(it)
-    wmat = next(it) if w_pass == "mxuC" else None  # (2, 128, 144) bf16
+    # mxuC: (2, 128, 144) bf16 limbs; mxuX: (128, 144) f32
+    wmat = next(it) if w_pass in ("mxuC", "mxuX") else None
     if emit_ds:
         _z = next(it)
     out_ref = next(it)
@@ -2029,6 +2134,11 @@ def fused_scale0_yuv_pallas(
             pl.BlockSpec(
                 (2, _WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0, 0)
             )
+        )
+    elif w_pass == "mxuX":
+        inputs.append(jnp.asarray(_band_matrix_wt(taps)))
+        in_specs.append(
+            pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0))
         )
 
     out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
@@ -2401,6 +2511,11 @@ def fused_scale_pallas_v4(
             pl.BlockSpec(
                 (2, _WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0, 0)
             )
+        )
+    elif w_pass == "mxuX":
+        inputs.append(jnp.asarray(_band_matrix_wt(taps)))
+        in_specs.append(
+            pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0))
         )
     elif w_pass in ("mxu3", "mxuP"):
         wc = _band_matrix_wchunk(taps)
