@@ -289,3 +289,52 @@ def test_default_model_discovery_data_dir(tmp_path, monkeypatch):
     assert vm.find_default_model() == str(p)
     m = VmafModel.load(vm.find_default_model())
     assert m.name == "vmaf_v0.6.1"
+
+
+def test_svm_parse_full_scale_model():
+    """Parse and predict with a vmaf_v0.6.1-SHAPED model: 6 features, 211
+    support vectors (the genuine model's count) — exercises the parser and
+    the RBF kernel at real-model scale, not just the 2-SV fixture."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_sv, n_feat = 211, 6
+    coefs = rng.normal(0, 2.0, n_sv)
+    svs = rng.random((n_sv, n_feat))
+    lines = [
+        "svm_type nu_svr", "kernel_type rbf", "gamma 0.04",
+        "nr_class 2", f"total_sv {n_sv}", "rho -1.1", "SV",
+    ]
+    for c, sv in zip(coefs, svs):
+        lines.append(
+            f"{c:.10g} " + " ".join(f"{j+1}:{v:.10g}" for j, v in enumerate(sv))
+        )
+    model = VmafModel.from_dict({
+        "model_dict": {
+            "model_type": "LIBSVMNUSVR",
+            "feature_names": FEATURES_V061,
+            "norm_type": "linear_rescale",
+            "slopes": [0.01] + [1.0] * n_feat,
+            "intercepts": [-0.1] + [0.0] * n_feat,
+            "score_clip": [0.0, 100.0],
+            "model": "\n".join(lines) + "\n",
+        }
+    })
+    assert model.svm.sv.shape == (n_sv, n_feat)
+    feats = {
+        "adm2": np.asarray([0.9, 0.5]),
+        "motion2": np.asarray([2.0, 10.0]),
+        **{f"vif_scale{k}": np.asarray([0.8, 0.3]) for k in range(4)},
+    }
+    y = model.predict(feats)
+    assert y.shape == (2,)
+    assert np.isfinite(y).all() and (0 <= y).all() and (y <= 100).all()
+    # Manual RBF cross-check of frame 0 against the parsed parameters.
+    x = np.array(
+        [0.9, 2.0, 0.8, 0.8, 0.8, 0.8]
+    )[[FEATURES_V061.index(n) for n in model.raw_feature_names]]
+    x = model.slopes[1:] * x + model.intercepts[1:]
+    k = np.exp(-0.04 * ((svs - x) ** 2).sum(axis=1))
+    raw = coefs @ k - (-1.1)
+    want = np.clip((raw - (-0.1)) / 0.01, 0, 100)
+    np.testing.assert_allclose(y[0], want, rtol=1e-10)
