@@ -943,6 +943,24 @@ def _cbrt_fast(v: jax.Array) -> jax.Array:
     return v * w * w
 
 
+def _map_div(num: jax.Array, den: jax.Array, fastdiv: str) -> jax.Array:
+    """Quotient engine for the per-pixel maps.
+
+    'div' is the exact f32 divide (multi-pass on the VPU); 'nr1'/'nr2' use
+    the VPU's approximate reciprocal plus 1 or 2 Newton refinements
+    (r <- r*(2 - den*r), quadratic: eps -> eps^2), trading sub-ulp exactness
+    for fewer VPU passes on the maps block, the kernel's largest VPU cost.
+    The maps' quotients feed pixel averages, so the ~1e-10 ('nr2') relative
+    error is far below the score parity gates (tools/tpu_parity_check.py)."""
+    if fastdiv == "div":
+        return num / den
+    r = pl.reciprocal(den, approx=True)
+    r = r * (jnp.float32(2.0) - den * r)
+    if fastdiv == "nr2":
+        r = r * (jnp.float32(2.0) - den * r)
+    return num * r
+
+
 def _band_matrix_wchunk(taps) -> np.ndarray:
     """(W_WIN, 128) band matrix; the same matrix serves every 128-aligned
     W-pass chunk: chunk j consumes padded cols [128j, 128j + W_WIN) and
@@ -979,7 +997,8 @@ def _band_matrix_wt(taps) -> np.ndarray:
 
 
 def _maps_and_sums(
-    out_ref, xyb_channel, blur, valid, tile_h, tile_w, blur_all=None
+    out_ref, xyb_channel, blur, valid, tile_h, tile_w, blur_all=None,
+    fastdiv="div",
 ):
     """Shared per-channel tail of the scale kernels: XYB pair -> 4 blurs
     (s11+s22 collapsed by linearity) -> modified-SSIM + edge-difference
@@ -1024,11 +1043,11 @@ def _maps_and_sums(
         num_m = one - mu_diff * mu_diff
         num_s = jnp.float32(2.0) * (s12 - mu12) + C2
         denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
-        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+        d = jnp.maximum(_map_div(denom_s - num_m * num_s, denom_s, fastdiv), 0.0)
 
         aa = jnp.abs(i2 - mu2)
         bb2 = jnp.abs(i1 - mu1)
-        d1m = (aa - bb2) / (one + bb2)
+        d1m = _map_div(aa - bb2, one + bb2, fastdiv)
         art = jnp.maximum(d1m, 0.0)
         det = jnp.maximum(-d1m, 0.0)
 
@@ -1088,8 +1107,9 @@ def _split3(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
 
 
 def _maps_and_sums_consistent(
-    out_ref, xyb_channel, hmat2, wt2, valid, tile_h, tile_w,
-    rows, cols, kappa,
+    out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
+    rows, cols, kappa, row0, col0, h, w, fastdiv="div",
+    map_chunk=0, mxu_sums=False,
 ):
     """Consistent-limb packed MXU blur ('mxuC'): HIGHEST-class accuracy at
     bf16-pass cost.
@@ -1122,10 +1142,25 @@ def _maps_and_sums_consistent(
     utilization measured 2 ms/b4, a third of the whole kernel.  One big
     back-transpose restores full-lane (tile_h, tile_w) maps and lets the
     interiors/mask come straight from the natural-orientation arrays.
+
+    Validity masking is FOLDED INTO THE BAND MATRICES: zeroing an
+    out-of-image row of the xyb inputs equals zeroing the matching hmat
+    column, and zeroing an out-of-image column equals zeroing the matching
+    W-window column — 0/1 bf16 multiplies on the tiny (tile_h, rows) and
+    (WT_CHUNK, WT_WIN) operands are exact on the limbs, so the blur output
+    is BIT-IDENTICAL to masking the six full (rows, cols) xyb arrays while
+    skipping those 6 full-size VPU multiplies and the full-size validity
+    iota.  Only the small interior mask on the final maps remains.
     """
     out_ref[...] = jnp.zeros_like(out_ref)
     one = jnp.float32(1.0)
-    hm0, hm1 = hmat2[0], hmat2[1]  # (tile_h, rows) bf16 limbs
+    # Fold row validity (blur zero-extension at image borders) into the
+    # H band limbs: exact, since the mask is 0/1 and the limbs stay bf16.
+    gr = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1) + (
+        row0 - ROW_HALO4
+    )
+    rvm = ((gr >= 0) & (gr < h)).astype(jnp.bfloat16)
+    hm0, hm1 = hmat2[0] * rvm, hmat2[1] * rvm  # (tile_h, rows) bf16 limbs
     w0, w1 = wt2[0], wt2[1]  # (WT_CHUNK, WT_WIN) bf16 limbs
     dims = (((1,), (0,)), ((), ()))
 
@@ -1134,11 +1169,12 @@ def _maps_and_sums_consistent(
             a, b, dims, preferred_element_type=jnp.float32
         )
 
-    # Group A: 2-limb xyb quantities, consistent values ah.
+    # Group A: 2-limb xyb quantities, consistent values ah (UNmasked —
+    # validity is folded into the band matrices).
     a0s, a1s, ahs = [], [], []
     for c in range(3):
         for idx in (0, 1):
-            h0, l0 = _split2(xyb_channel(idx, c))
+            h0, l0 = _split2(xyb_channel(idx, c, masked=False))
             a0s.append(h0)
             a1s.append(l0)
             ahs.append(h0.astype(jnp.float32) + l0.astype(jnp.float32))
@@ -1178,14 +1214,21 @@ def _maps_and_sums_consistent(
     chunks = []
     for j in range(tile_w // _WT_CHUNK):
         s = j * _WT_CHUNK + COL_HALO4 - 8
+        # Column validity folded into this chunk's W band limbs (window
+        # element k sits at global column col0 - 8 + j*WT_CHUNK + k).
+        gc = jax.lax.broadcasted_iota(jnp.int32, (1, _WT_WIN), 1) + (
+            col0 + j * _WT_CHUNK - 8
+        )
+        cvm = ((gc >= 0) & (gc < w)).astype(jnp.bfloat16)
+        w0j, w1j = w0 * cvm, w1 * cvm
 
         def sl(t, s=s):
             return jax.lax.slice(t, (s, 0), (s + _WT_WIN, nq))
 
         x0, x1, x2 = sl(t0), sl(t1), sl(t2)
         chunks.append(
-            dot(w0, x0) + dot(w0, x1) + dot(w0, x2)
-            + dot(w1, x0) + dot(w1, x1)
+            dot(w0j, x0) + dot(w0j, x1) + dot(w0j, x2)
+            + dot(w1j, x0) + dot(w1j, x1)
         )
     # kappa matches the 2-limb filter's sum to the oracle's f32 taps (see
     # _tapsum_kappa); the back-transpose restores full-lane orientation.
@@ -1198,46 +1241,72 @@ def _maps_and_sums_consistent(
 
     lo = (ROW_HALO4, COL_HALO4)
     hi_ = (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
-    mask = jax.lax.slice(valid, lo, hi_)
+    # Interior mask, generated at (tile_h, tile_w) directly (interior
+    # globals are always >= 0, so only the upper bounds are tested).
+    mri = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + row0
+    mci = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + col0
+    mask = ((mri < h) & (mci < w)).astype(jnp.float32)
 
     def iq(i):  # interior of the consistent value, natural orientation
         return jax.lax.slice(ahs[i], lo, hi_)
 
+    # Sum engine: 'mxu_sums' rides the row reduction on the MXU (exact —
+    # 1.0 x f32 products at HIGHEST, f32 accumulator) leaving only a
+    # (1, width) lane reduction for the VPU; 'map_chunk' processes the maps
+    # in lane chunks to shrink the live vreg set (spill traffic).
+    ones_row = jnp.ones((1, tile_h), jnp.float32)
+
+    def _sum(m):
+        if not mxu_sums:
+            return jnp.sum(m)
+        r = jax.lax.dot_general(
+            ones_row, m, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(r)
+
+    cw = map_chunk or tile_w
     for c in range(3):
-        mu1, mu2 = bq(2 * c), bq(2 * c + 1)
-        s_sum, s12 = bq(6 + 2 * c), bq(6 + 2 * c + 1)
-        i1, i2 = iq(2 * c), iq(2 * c + 1)
+        mu1f, mu2f = bq(2 * c), bq(2 * c + 1)
+        s_sumf, s12f = bq(6 + 2 * c), bq(6 + 2 * c + 1)
+        i1f, i2f = iq(2 * c), iq(2 * c + 1)
+        accs = [jnp.float32(0.0)] * 6
+        for j0 in range(0, tile_w, cw):
+            def sl(t, j0=j0):
+                return jax.lax.slice(t, (0, j0), (tile_h, j0 + cw))
 
-        mu12 = mu1 * mu2
-        mu_diff = mu1 - mu2
-        num_m = one - mu_diff * mu_diff
-        num_s = jnp.float32(2.0) * (s12 - mu12) + C2
-        denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
-        d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+            mu1, mu2 = sl(mu1f), sl(mu2f)
+            s_sum, s12 = sl(s_sumf), sl(s12f)
+            i1, i2 = sl(i1f), sl(i2f)
+            msk = sl(mask)
 
-        aa = jnp.abs(i2 - mu2)
-        bb2 = jnp.abs(i1 - mu1)
-        d1m = (aa - bb2) / (one + bb2)
-        art = jnp.maximum(d1m, 0.0)
-        det = jnp.maximum(-d1m, 0.0)
+            mu12 = mu1 * mu2
+            mu_diff = mu1 - mu2
+            num_m = one - mu_diff * mu_diff
+            num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+            denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+            d = jnp.maximum(
+                _map_div(denom_s - num_m * num_s, denom_s, fastdiv), 0.0
+            )
 
-        d = d * mask
-        art = art * mask
-        det = det * mask
-        d2 = d * d
-        art2 = art * art
-        det2 = det * det
+            aa = jnp.abs(i2 - mu2)
+            bb2 = jnp.abs(i1 - mu1)
+            d1m = _map_div(aa - bb2, one + bb2, fastdiv)
+            art = jnp.maximum(d1m, 0.0)
+            det = jnp.maximum(-d1m, 0.0)
+
+            d = d * msk
+            art = art * msk
+            det = det * msk
+            d2 = d * d
+            art2 = art * art
+            det2 = det * det
+            for k, m in enumerate(
+                (d, d2 * d2, art, art2 * art2, det, det2 * det2)
+            ):
+                accs[k] = accs[k] + _sum(m)
         out_ref[0, 0, 0, c, :] = jnp.stack(
-            [
-                jnp.sum(d),
-                jnp.sum(d2 * d2),
-                jnp.sum(art),
-                jnp.sum(art2 * art2),
-                jnp.sum(det),
-                jnp.sum(det2 * det2),
-                jnp.float32(0.0),
-                jnp.float32(0.0),
-            ]
+            accs + [jnp.float32(0.0), jnp.float32(0.0)]
         )
 
 
@@ -1517,6 +1586,9 @@ def _fused_scale_kernel_v4(
     w_pass: str,
     cbrt: str,
     centered: bool,
+    fastdiv: str = "div",
+    map_chunk: int = 0,
+    mxu_sums: bool = False,
 ):
     """One pyramid level: XYB + 4-blur + maps + sums, plus (emit_ds) the
     exact 2x2-mean downscale of the linear tile written straight into the
@@ -1752,8 +1824,10 @@ def _fused_scale_kernel_v4(
 
     if w_pass == "mxuC":
         _maps_and_sums_consistent(
-            out_ref, xyb_channel, hmat, wmat, valid,
+            out_ref, xyb_channel, hmat, wmat,
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
+            row0, col0, h, w, fastdiv=fastdiv,
+            map_chunk=map_chunk, mxu_sums=mxu_sums,
         )
     elif w_pass == "mxuX":
         _maps_and_sums_exact_mxu(
@@ -1801,6 +1875,9 @@ def _fused_scale0_yuv_kernel(
     transfer: str,
     w_pass: str,
     depth: int,
+    fastdiv: str = "div",
+    map_chunk: int = 0,
+    mxu_sums: bool = False,
 ):
     """v5: scale 0 straight from padded u8 YUV planes — the conversion
     (range offsets, matrix, exact chunked one-hot chroma upsample, EOTF,
@@ -2028,11 +2105,16 @@ def _fused_scale0_yuv_kernel(
 
     if w_pass == "mxuC":
         _maps_and_sums_consistent(
-            out_ref, xyb_channel, hmat, wmat, valid,
+            out_ref, xyb_channel, hmat, wmat,
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
+            row0, col0, h, w, fastdiv=fastdiv,
+            map_chunk=map_chunk, mxu_sums=mxu_sums,
         )
     else:
-        _maps_and_sums(out_ref, xyb_channel, blur, valid, tile_h, tile_w)
+        _maps_and_sums(
+            out_ref, xyb_channel, blur, valid, tile_h, tile_w,
+            fastdiv=fastdiv,
+        )
 
     for cp in ds_copies:
         cp.wait()
@@ -2052,6 +2134,9 @@ def fused_scale0_yuv_pallas(
     precision: str = "highest",
     w_pass: str = "mxuC",
     cbrt: str = "fastnr",
+    fastdiv: str = "div",
+    map_chunk: int = 0,
+    mxu_sums: bool = False,
     ds_buf: jax.Array | None = None,
     interpret: bool = False,
 ):
@@ -2197,6 +2282,9 @@ def fused_scale0_yuv_pallas(
         transfer=transfer,
         w_pass=w_pass,
         depth=depth,
+        fastdiv=fastdiv,
+        map_chunk=map_chunk,
+        mxu_sums=mxu_sums,
     )
     outs = pl.pallas_call(
         kernel,
@@ -2458,6 +2546,9 @@ def fused_scale_pallas_v4(
     w_pass: str = "mxuC",
     cbrt: str = "fastnr",
     centered: bool = False,
+    fastdiv: str = "div",
+    map_chunk: int = 0,
+    mxu_sums: bool = False,
     ds_buf: jax.Array | None = None,
     interpret: bool = False,
 ):
@@ -2605,6 +2696,9 @@ def fused_scale_pallas_v4(
         w_pass=w_pass,
         cbrt=cbrt,
         centered=centered,
+        fastdiv=fastdiv,
+        map_chunk=map_chunk,
+        mxu_sums=mxu_sums,
     )
     outs = pl.pallas_call(
         kernel,
