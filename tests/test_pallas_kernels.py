@@ -265,3 +265,44 @@ def test_mxuC_engine_matches_default(rng):
     nb = np.asarray(norms_from_sums(base, h * w))
     ng = np.asarray(norms_from_sums(got, h * w))
     assert np.abs(ng - nb).max() < 3e-6
+
+
+def test_ssim_pallas_matches_jnp(rng):
+    """The fused windowed SSIM kernel (ops/pallas/windowed.py) must match
+    the jnp valid-correlation formulation (same taps, same maps) to f32
+    summation order."""
+    from turbo_metrics_tpu.ops import quality
+
+    a = jnp.asarray(
+        rng.integers(0, 256, (2, 3, 72, 200)).astype(np.float32)
+    )
+    b = jnp.clip(
+        a + jnp.asarray(rng.normal(0, 9, a.shape).astype(np.float32)),
+        0, 255,
+    )
+    s_jnp = np.asarray(quality.ssim(a, b, backend="jnp"))
+    s_pal = np.asarray(quality.ssim(a, b, backend="interpret"))
+    assert np.abs(s_jnp - s_pal).max() < 2e-6
+    m_jnp = np.asarray(quality.msssim(a, b, backend="jnp"))
+    m_pal = np.asarray(quality.msssim(a, b, backend="interpret"))
+    assert np.abs(m_jnp - m_pal).max() < 2e-6
+    # identical pair stays exactly at the fixed point
+    s_same = float(np.asarray(quality.ssim(a, a, backend="interpret"))[0])
+    assert s_same == pytest.approx(1.0, abs=1e-6)
+
+
+def test_msssim_pallas_chain_odd_dims(rng):
+    """The in-kernel half-pool chain (emit_ds) must reproduce the jnp
+    truncate-then-halve downsampling, including odd level dims."""
+    from turbo_metrics_tpu.ops import quality
+
+    a = jnp.asarray(
+        rng.integers(0, 256, (1, 3, 135, 240)).astype(np.float32)
+    )
+    b = jnp.clip(
+        a + jnp.asarray(rng.normal(0, 6, a.shape).astype(np.float32)),
+        0, 255,
+    )
+    m_jnp = np.asarray(quality.msssim(a, b, backend="jnp"))
+    m_pal = np.asarray(quality.msssim(a, b, backend="interpret"))
+    assert np.abs(m_jnp - m_pal).max() < 5e-6

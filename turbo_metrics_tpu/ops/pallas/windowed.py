@@ -1,0 +1,394 @@
+"""SSIM / MS-SSIM windowed statistics as a fused Pallas megakernel.
+
+The classic SSIM family (Wang et al.; the reference computes these via
+NVIDIA NPP — cudarse-npp/src/lib.rs — and never optimises them) needs five
+11-tap separable Gaussian correlations per channel plus a light map.  The
+plain jnp formulation (ops/quality.py) is HBM-bound at 1080p: every tap is
+a full-array shifted multiply-add, ~43 ms for batch 8.  Lowering the
+correlations to `lax.conv_general_dilated` is WORSE on TPU (measured 378 ms
++ OOM: XLA pads the singleton feature dim of a depthwise 1-D conv 128x,
+see docs/PERFORMANCE.md "windowed-metric lowering").
+
+This kernel reuses the SSIMULACRA2 megakernel's discoveries wholesale
+(ops/pallas/scale_stats.py): the same padded layout (pad_geom4 /
+pad_to_layout4), the same 11-tap geometry (SSIM's gaussian_window(11,1.5)
+has the same radius as SSIMULACRA2's blur), the s11+s22 linearity collapse
+(blur(a^2+b^2) in one pass), the lane-packed HIGHEST H matmul and the
+transposed-pack 144-MAC W chunks ('mxuX' engine) — so each (ref, dis) tile
+costs ONE HBM read and the blur rides the MXU f32-exactly with no limb
+bookkeeping.  Per tile the kernel emits channelwise sums of the SSIM map
+(luminance*cs) and of cs alone (MS-SSIM pools cs at all but the last
+level); the tiny per-tile partials are reduced outside.
+
+Validity here is the *valid-correlation* convention (window fully inside
+the image), not SSIMULACRA2's zero-extension: map centers are masked to
+[R, h-R) x [R, w-R) and no input masking is needed at all — every surviving
+center only ever sees in-image samples.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from turbo_metrics_tpu.ops.gaussian import gaussian_window
+from turbo_metrics_tpu.ops.pallas.scale_stats import (
+    COL_HALO4,
+    ROW_HALO4,
+    _WT_CHUNK,
+    _WT_WIN,
+    _band_matrix_h,
+    _band_matrix_wt,
+    _round_up,
+    ds_buffer_hw,
+    pad_geom4,
+    pad_to_layout4,
+)
+
+RADIUS = 5  # gaussian_window(11, 1.5)
+# Wang et al. stabilisers at 8-bit dynamic range (match ops/quality.py).
+_C1 = np.float32((0.01 * 255.0) ** 2)
+_C2 = np.float32((0.03 * 255.0) ** 2)
+
+
+def _emit_halfpool_tiles(
+    ds_ref, ds_store, ds_sems, get_plane, *,
+    p, row0, col0, tile_h, tile_w, h, w,
+):
+    """Exact 2x2-mean half-pool of the tile into the next MS-SSIM level's
+    padded buffer.  MS-SSIM TRUNCATES odd dims before halving (quality.
+    _downsample_2x2), so emitted positions past (h//2, w//2) are zeroed —
+    keeping the next level's halos exactly zero (the padded-chain
+    invariant) — instead of scale_stats._emit_ds_tiles' ceil-half
+    edge-replication."""
+    dh, dw = tile_h // 2, tile_w // 2
+    dh_p = _round_up(dh, 8)
+    dw_p = _round_up(dw, 128)
+    s_cols = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=0) // 2
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=1)
+    ).astype(jnp.float32)
+    h2, w2 = h // 2, w // 2
+    rid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 0) + row0 // 2
+    cid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 1) + col0 // 2
+    keep = ((rid < h2) & (cid < w2)).astype(jnp.float32)
+
+    copies = []
+    for img_idx in (0, 1):
+        for c in range(3):
+            q = get_plane(img_idx, c)
+            rsum = q.reshape(dh, 2, tile_w).sum(axis=1)
+            if dh_p != dh:
+                rsum = jnp.pad(rsum, ((0, dh_p - dh), (0, 0)))
+            quad = jax.lax.dot_general(
+                rsum, s_cols,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            ds_store[img_idx * 3 + c] = quad * np.float32(0.25) * keep
+            dst_r = pl.multiple_of(ROW_HALO4 + row0 // 2, 8)
+            dst_c = pl.multiple_of(COL_HALO4 + col0 // 2, 128)
+            cp = pltpu.make_async_copy(
+                ds_store.at[img_idx * 3 + c],
+                ds_ref.at[
+                    img_idx, p, c, pl.ds(dst_r, dh_p), pl.ds(dst_c, dw_p)
+                ],
+                ds_sems.at[img_idx, c],
+            )
+            cp.start()
+            copies.append(cp)
+    return copies
+
+
+def _ssim_kernel(
+    *refs,
+    h: int,
+    w: int,
+    tile_h: int,
+    tile_w: int,
+    nth: int,
+    ntw: int,
+    bsz: int,
+    emit_ds: bool,
+):
+    it = iter(refs)
+    q12_hbm = next(it)  # (2, B, 3, hp, wp) f32 code values
+    hmat = next(it)  # (tile_h, rows) f32 band
+    wmat = next(it)  # (WT_CHUNK, WT_WIN) f32 band
+    if emit_ds:
+        _z = next(it)  # zeros-aliased ds buffer (consumed via the output)
+    out_ref = next(it)  # (1, 1, 1, 8, 8) per-tile sums block
+    ds_ref = next(it) if emit_ds else None  # (2, B, 3, hp2, wp2)
+    t1 = next(it)  # VMEM (2 slots, 3, rows, cols)
+    t2 = next(it)
+    sems = next(it)  # DMA (2, 2)
+    ds_store = next(it) if emit_ds else None  # (6, dh_p, dw_p)
+    ds_sems = next(it) if emit_ds else None
+
+    p = pl.program_id(0)
+    th = pl.program_id(1)
+    tw = pl.program_id(2)
+    rows = tile_h + 2 * ROW_HALO4
+    cols = tile_w + 2 * COL_HALO4
+
+    # Cross-step double-buffered input DMA (same scheme as the v4 kernel).
+    nsteps = bsz * nth * ntw
+    step = (p * nth + th) * ntw + tw
+
+    def dma_pair(idx, slot):
+        p_ = idx // (nth * ntw)
+        rem = idx % (nth * ntw)
+        row0_ = pl.multiple_of((rem // ntw) * tile_h, 8)
+        col0_ = pl.multiple_of((rem % ntw) * tile_w, 128)
+        d1 = pltpu.make_async_copy(
+            q12_hbm.at[0, p_, :, pl.ds(row0_, rows), pl.ds(col0_, cols)],
+            t1.at[slot],
+            sems.at[slot, 0],
+        )
+        d2 = pltpu.make_async_copy(
+            q12_hbm.at[1, p_, :, pl.ds(row0_, rows), pl.ds(col0_, cols)],
+            t2.at[slot],
+            sems.at[slot, 1],
+        )
+        return d1, d2
+
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        d1, d2 = dma_pair(step, slot)
+        d1.start()
+        d2.start()
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        d1, d2 = dma_pair(step + 1, jax.lax.rem(step + 1, 2))
+        d1.start()
+        d2.start()
+
+    d1, d2 = dma_pair(step, slot)
+    d1.wait()
+    d2.wait()
+    a3 = t1[slot]  # (3, rows, cols)
+    b3 = t2[slot]
+
+    row0 = pl.multiple_of(th * tile_h, 8)
+    col0 = pl.multiple_of(tw * tile_w, 128)
+
+    ds_copies = []
+    if emit_ds:
+        def get_plane(img_idx, c):
+            return jax.lax.slice(
+                (a3, b3)[img_idx],
+                (c, ROW_HALO4, COL_HALO4),
+                (c + 1, ROW_HALO4 + tile_h, COL_HALO4 + tile_w),
+            )[0]
+
+        ds_copies = _emit_halfpool_tiles(
+            ds_ref, ds_store, ds_sems, get_plane,
+            p=p, row0=row0, col0=col0, tile_h=tile_h, tile_w=tile_w,
+            h=h, w=w,
+        )
+
+    dims = (((1,), (0,)), ((), ()))
+
+    def doth(x, y):
+        return jax.lax.dot_general(
+            x, y, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    # 4 blur quantities per channel (s11+s22 collapsed by linearity).
+    qs = []
+    for c in range(3):
+        a = jax.lax.slice(a3, (c, 0, 0), (c + 1, rows, cols))[0]
+        b = jax.lax.slice(b3, (c, 0, 0), (c + 1, rows, cols))[0]
+        qs += [a, b, a * a + b * b, a * b]
+
+    pack = jnp.concatenate(qs, axis=1)  # (rows, 12*cols)
+    hp_ = doth(hmat[...], pack)  # (tile_h, 12*cols)
+    segs = [
+        jax.lax.slice(hp_, (0, i * cols), (tile_h, (i + 1) * cols))
+        for i in range(12)
+    ]
+    pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*tile_h)
+    nq = 12 * tile_h
+    wmatf = wmat[...]
+    chunks = []
+    for j in range(tile_w // _WT_CHUNK):
+        s = j * _WT_CHUNK + COL_HALO4 - 8
+        win = jax.lax.slice(pt, (s, 0), (s + _WT_WIN, nq))
+        chunks.append(doth(wmatf, win))
+    wt_nat = jnp.concatenate(chunks, axis=0).T  # (12*tile_h, tile_w)
+
+    def bq(i):
+        return jax.lax.slice(
+            wt_nat, (i * tile_h, 0), ((i + 1) * tile_h, tile_w)
+        )
+
+    # Valid-correlation mask: the 11x11 window must sit fully inside.
+    mri = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + row0
+    mci = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + col0
+    mask = (
+        (mri >= RADIUS) & (mri < h - RADIUS)
+        & (mci >= RADIUS) & (mci < w - RADIUS)
+    ).astype(jnp.float32)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    two = jnp.float32(2.0)
+    for c in range(3):
+        mu1, mu2 = bq(4 * c), bq(4 * c + 1)
+        s_sum, s12 = bq(4 * c + 2), bq(4 * c + 3)
+        mu1sq = mu1 * mu1
+        mu2sq = mu2 * mu2
+        mu12 = mu1 * mu2
+        lum = (two * mu12 + _C1) / (mu1sq + mu2sq + _C1)
+        cs = (two * (s12 - mu12) + _C2) / ((s_sum - mu1sq - mu2sq) + _C2)
+        lc = lum * cs * mask
+        csm = cs * mask
+        out_ref[0, 0, 0, c, :] = jnp.stack(
+            [jnp.sum(lc), jnp.sum(csm)] + [jnp.float32(0.0)] * 6
+        )
+
+    for cp in ds_copies:
+        cp.wait()
+
+
+def ssim_sums_pallas(
+    q12: jax.Array, h: int, w: int, *, emit_ds: bool = False,
+    interpret: bool = False,
+):
+    """Per-channel (sum(luminance*cs), sum(cs)) over the valid grid.
+
+    ``q12``: (2, B, 3, hp, wp) padded code values (pad_to_layout4 layout).
+    Returns ((B, 3, 2) f32 sums, ds12) where ds12 is the next MS-SSIM
+    level's (2, B, 3, hp2, wp2) padded input (2x2-mean, odd dims
+    truncated) when ``emit_ds``, else None.  The valid-position count is
+    (h - 2*RADIUS) * (w - 2*RADIUS).
+    """
+    two, bsz = q12.shape[0], q12.shape[1]
+    assert two == 2
+    tile_h, tile_w, nth, ntw, hp, wp = pad_geom4(h, w)
+    # An emitted buffer (ds_buffer_hw) may be larger than this level's
+    # minimal layout; the slack rows/cols are zero and never read.
+    assert q12.shape[-2] >= hp and q12.shape[-1] >= wp, (q12.shape, hp, wp)
+    assert not (emit_ds and nth > 1 and tile_h % 16)
+    assert not (emit_ds and ntw > 1 and tile_w % 256), (
+        "half-pool destination DMA needs 128-aligned columns"
+    )
+    rows = tile_h + 2 * ROW_HALO4
+    cols = tile_w + 2 * COL_HALO4
+    taps = tuple(float(t) for t in gaussian_window(11, 1.5))
+
+    hmat = _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)
+    wmat = _band_matrix_wt(taps)
+
+    inputs = [q12, jnp.asarray(hmat), jnp.asarray(wmat)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)),
+        pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0)),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, 1, 1, 8, 8), lambda p, th, tw: (p, th, tw, 0, 0))
+    ]
+    scratch = [
+        pltpu.VMEM((2, 3, rows, cols), jnp.float32),
+        pltpu.VMEM((2, 3, rows, cols), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    aliases = {}
+    if emit_ds:
+        # Sized to cover BOTH the emitting grid's staging extent and the
+        # next level's tile grid (scale_stats.ds_buffer_hw); MS-SSIM's
+        # truncated dims (h//2) are <= ds_buffer_hw's ceil-half extent.
+        hp2, wp2 = ds_buffer_hw(h, w)
+        dh_p = _round_up(tile_h // 2, 8)
+        dw_p = _round_up(tile_w // 2, 128)
+        inputs.append(jnp.zeros((2, bsz, 3, hp2, wp2), jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((2, bsz, 3, hp2, wp2), jnp.float32)
+        )
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        aliases = {len(inputs) - 1: 1}
+        scratch += [
+            pltpu.VMEM((6, dh_p, dw_p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ]
+
+    kernel = functools.partial(
+        _ssim_kernel,
+        h=h, w=w, tile_h=tile_h, tile_w=tile_w,
+        nth=nth, ntw=ntw, bsz=bsz, emit_ds=emit_ds,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nth, ntw),
+        in_specs=in_specs,
+        out_specs=out_specs if emit_ds else out_specs[0],
+        out_shape=out_shapes if emit_ds else out_shapes[0],
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if emit_ds:
+        out, ds12 = outs
+    else:
+        out, ds12 = outs, None
+    return out[:, :, :, :3, :2].sum(axis=(1, 2)), ds12  # (B, 3, 2)
+
+
+def _means(sums: jax.Array, h: int, w: int):
+    count = np.float32(3 * (h - 2 * RADIUS) * (w - 2 * RADIUS))
+    return (
+        sums[:, :, 0].sum(axis=-1) / count,
+        sums[:, :, 1].sum(axis=-1) / count,
+    )
+
+
+def ssim_level(
+    a: jax.Array, b: jax.Array, *, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """(mean(luminance*cs), mean(cs)) over channels+valid grid for one level.
+
+    a, b: (B, 3, H, W) f32 code values.  Drop-in for the jnp formulation's
+    per-level means (ops/quality.py) up to f32 summation order.
+    """
+    h, w = a.shape[-2], a.shape[-1]
+    q12 = pad_to_layout4(jnp.stack([a, b]), h, w)
+    sums, _ = ssim_sums_pallas(q12, h, w, interpret=interpret)
+    return _means(sums, h, w)
+
+
+def msssim_level_means(
+    a: jax.Array, b: jax.Array, levels: int, *, interpret: bool = False
+) -> list[tuple[jax.Array, jax.Array]]:
+    """Per-level (mean(luminance*cs), mean(cs)) for the MS-SSIM chain.
+
+    One padded-chain pass: level 0 pads once, every level emits the next
+    level's 2x2-mean (odd-truncated) padded input in-kernel — no jnp.pad
+    or downsample ops between levels (the jnp chain's inter-level
+    pad+pool cost ~doubled MS-SSIM's step time on chip)."""
+    h, w = a.shape[-2], a.shape[-1]
+    q12 = pad_to_layout4(jnp.stack([a, b]), h, w)
+    out = []
+    for lvl in range(levels):
+        sums, ds12 = ssim_sums_pallas(
+            q12, h, w, emit_ds=lvl < levels - 1, interpret=interpret
+        )
+        out.append(_means(sums, h, w))
+        if lvl < levels - 1:
+            q12 = ds12
+            h, w = h // 2, w // 2
+    return out
