@@ -39,7 +39,13 @@ def main() -> int:
     with open(os.path.join(JOB_DIR, "READY"), "w") as f:
         f.write(f"{time.perf_counter() - t0:.1f}\n")
 
-    done = set()
+    # Seed from existing .done markers so a daemon restart does not replay
+    # every historical job (and collide with a prior instance's work).
+    done = {
+        f[:-5] + ".py"
+        for f in os.listdir(JOB_DIR)
+        if f.endswith(".done")
+    }
     while True:
         jobs = sorted(
             f for f in os.listdir(JOB_DIR)
