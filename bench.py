@@ -90,36 +90,47 @@ def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
 
     if on_tpu:
-        # Zero-copy padded chain: conversion writes the megakernel's padded
-        # layout directly; each level emits the next level's input
-        # in-kernel.  The padded buffer is allocated once and THREADED
-        # through the steps (donated), so its 200+ MB never get re-zeroed —
-        # only the interior is rewritten and the halos stay zero.
+        # Zero-copy padded chain: frames are staged host-side straight into
+        # the megakernel's padded layout (the engine does the same at
+        # upload time — _stack_padded_yuv), so the step has no pad or stack
+        # copies at all; each level emits the next level's input in-kernel.
+        # The emit buffers are allocated once and THREADED through the
+        # steps (donated), so their 200+ MB never get re-zeroed.
         from turbo_metrics_tpu.models.ssimulacra2 import (
             ds_buffer_shapes_yuv,
             ssimulacra2_subscores_from_yuv,
         )
 
-        def step(y_ref, uv_ref, y_dis, uv_dis, ds_bufs):
+        def step(planes, ds_bufs):
             sub, ds_outs = ssimulacra2_subscores_from_yuv(
-                jnp.stack([y_ref, y_dis]), jnp.stack([uv_ref, uv_dis]),
+                None, None,
                 H, W, num_scales=num_scales, ds_bufs=ds_bufs,
+                padded_planes=planes,
             )
             return sub, ds_outs
 
-        fn_buf = jax.jit(step, donate_argnums=(4,))
+        fn_buf = jax.jit(step, donate_argnums=(1,))
         ds0 = [
             jnp.zeros(s, jnp.float32)
             for s in ds_buffer_shapes_yuv(H, W, batch, num_scales=num_scales)
         ]
 
         def make_fn():
+            from turbo_metrics_tpu.ops.pallas.scale_stats import (
+                pad_yuv_planes,
+            )
+
             state = {"ds": ds0}
 
             def run(y_ref, uv_ref, y_dis, uv_dis):
-                sub, state["ds"] = fn_buf(
-                    y_ref, uv_ref, y_dis, uv_dis, state["ds"]
-                )
+                if isinstance(y_ref, np.ndarray):
+                    planes = pad_yuv_planes(
+                        np.stack([y_ref, y_dis]),
+                        np.stack([uv_ref, uv_dis]), H, W,
+                    )
+                else:  # already-staged padded planes tuple
+                    planes = y_ref
+                sub, state["ds"] = fn_buf(planes, state["ds"])
                 return sub
 
             return run
@@ -134,19 +145,31 @@ def main() -> int:
         fn = jax.jit(step)
     stack = jax.jit(lambda xs: jnp.stack(xs))
 
+    def stage(y_r, uv_r, y_d, uv_d):
+        # Stage a batch on device in the padded plane layout (what the
+        # engine uploads); returns the (yp, up, vp) device tuple.
+        if on_tpu:
+            from turbo_metrics_tpu.ops.pallas.scale_stats import (
+                pad_yuv_planes,
+            )
+
+            planes = pad_yuv_planes(
+                np.stack([y_r, y_d]), np.stack([uv_r, uv_d]), H, W
+            )
+            return (tuple(jax.device_put(a) for a in planes), None, None, None)
+        return tuple(jax.device_put(a) for a in (y_r, uv_r, y_d, uv_d))
+
     if "--clip" in sys.argv[1:]:
         # Real-clip mode: decode an encoded 1080p clip once (host decode is
         # NOT timed — this isolates the same device pipeline, fed with real
         # decoded frames instead of synthetic rolled noise).
         y_all, uv_all, yd_all, uvd_all = _decode_clip_frames(2 * batch)
         halves = [slice(0, batch), slice(batch, 2 * batch)]
-        sets = [
-            tuple(
-                jax.device_put(a)
-                for a in (y_all[s], uv_all[s], yd_all[s], uvd_all[s])
-            )
-            for s in halves
+        raws = [
+            (y_all[s], uv_all[s], yd_all[s], uvd_all[s]) for s in halves
         ]
+        sets = [stage(*r) for r in raws]
+        y_ref, uv_ref, y_dis = raws[0][0], raws[0][1], raws[0][2]
     else:
         rng = np.random.default_rng(0)
         yy, xx = np.mgrid[0:H, 0:W]
@@ -159,21 +182,13 @@ def main() -> int:
 
         # Two device-resident input sets, alternated so no result caching
         # helps.
-        sets = []
-        for shift in (0, 3):
-            sets.append(
-                tuple(
-                    jax.device_put(a)
-                    for a in (
-                        np.roll(y_ref, shift, axis=2),
-                        uv_ref,
-                        np.roll(y_dis, shift, axis=2),
-                        uv_ref,
-                    )
-                )
+        sets = [
+            stage(
+                np.roll(y_ref, shift, axis=2), uv_ref,
+                np.roll(y_dis, shift, axis=2), uv_ref,
             )
-    y_ref, uv_ref, y_dis = (np.asarray(a) for a in sets[0][:3])
-    uv_ref = np.asarray(uv_ref)
+            for shift in (0, 3)
+        ]
     jax.block_until_ready(sets)
 
     t0 = time.perf_counter()

@@ -326,19 +326,57 @@ class _BufferedStep:
     it between calls — ``compute_all`` always pads to ``self.batch``), they
     are rebuilt instead of crashing with a jit shape mismatch."""
 
-    def __init__(self, jfn, make_bufs):
+    def __init__(self, jfn, make_bufs, bsz_axis: int = 0):
         self.jfn = jfn
         self.make_bufs = make_bufs  # bsz -> fresh zero buffers
         self.bufs = None
         self.bsz: Optional[int] = None
+        self.bsz_axis = bsz_axis  # batch axis of ref_arrays[0]
+        self.pad_spec = None  # set for the padded-YUV upload fast path
 
     def __call__(self, ref_arrays, dis_arrays, aux):
-        bsz = ref_arrays[0].shape[0]
+        bsz = ref_arrays[0].shape[self.bsz_axis]
         if self.bufs is None or self.bsz != bsz:
             self.bsz = bsz
             self.bufs = self.make_bufs(bsz)
         out, self.bufs = self.jfn(ref_arrays, dis_arrays, aux, self.bufs)
         return out
+
+
+def _stack_padded_yuv(
+    ref_frames, dis_frames, height, width, depth, full_range
+):
+    """Stack a batch of YUV frame pairs straight into the megakernel's
+    padded plane layout (scale_stats.pad_yuv_planes semantics) — the pad
+    happens once on the host at upload time, not on-device every step."""
+    from turbo_metrics_tpu.ops import colorspace
+    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+        COL_HALO4,
+        ROW_HALO4,
+        padded_yuv_geometry,
+    )
+
+    rng = colorspace.sample_range(depth, full_range)
+    hp_y, wp_y = padded_yuv_geometry(height, width)
+    ch, cw = (height + 1) // 2, (width + 1) // 2
+    r0, c0 = ROW_HALO4, COL_HALO4
+    bsz = len(ref_frames)
+    dt = ref_frames[0].y.dtype
+    yp = np.full((2, bsz, hp_y, wp_y), int(round(rng.minimum)), dtype=dt)
+    up = np.full(
+        (2, bsz, hp_y // 2, wp_y // 2), int(round(rng.neutral)), dtype=dt
+    )
+    vp = np.full_like(up, int(round(rng.neutral)))
+    for img, frames in ((0, ref_frames), (1, dis_frames)):
+        for i, f in enumerate(frames):
+            yp[img, i, r0 : r0 + height, c0 : c0 + width] = f.y
+            up[img, i, r0 // 2 : r0 // 2 + ch, c0 // 2 : c0 // 2 + cw] = (
+                f.uv[..., 0]
+            )
+            vp[img, i, r0 // 2 : r0 // 2 + ch, c0 // 2 : c0 // 2 + cw] = (
+                f.uv[..., 1]
+            )
+    return yp, up, vp
 
 
 # --------------------------------------------------------------------------
@@ -506,16 +544,19 @@ class TurboMetrics:
                     )
 
                     if use_yuv:
+                        # The host stacks frames straight into the padded
+                        # plane layout (_stack_padded_yuv), so the step has
+                        # no pad copies at all: ref_arrays IS (yp, up, vp).
                         def fast_step_buf(ref_arrays, dis_arrays, aux, bufs):
                             sub, ds_out = ssimulacra2_subscores_from_yuv(
-                                jnp.stack([ref_arrays[0], dis_arrays[0]]),
-                                jnp.stack([ref_arrays[1], dis_arrays[1]]),
+                                None, None,
                                 height, width, num_scales=num_scales,
                                 depth=spec_ref.depth,
                                 matrix=spec_ref.matrix,
                                 transfer=spec_ref.transfer,
                                 full_range=spec_ref.full_range,
                                 ds_bufs=bufs,
+                                padded_planes=ref_arrays,
                             )
                             return {"ssimulacra2_subscores": sub}, ds_out
                     else:
@@ -554,7 +595,14 @@ class TurboMetrics:
                                 ],
                             )
 
-                    fn = _BufferedStep(jfn, make_bufs)
+                    fn = _BufferedStep(
+                        jfn, make_bufs, bsz_axis=1 if use_yuv else 0
+                    )
+                    if use_yuv:
+                        fn.pad_spec = (
+                            height, width, spec_ref.depth,
+                            spec_ref.full_range,
+                        )
                 else:
                     def fast_step(ref_arrays, dis_arrays, aux):
                         p12 = convert(ref_arrays, dis_arrays, None)
@@ -690,11 +738,19 @@ class TurboMetrics:
             pad = self.batch - n
             ref_frames = ref_frames + [ref_frames[-1]] * pad
             dis_frames = dis_frames + [dis_frames[-1]] * pad
-        ref_arrays, f_ref = self._stack(ref_frames)
-        dis_arrays, f_dis = self._stack(dis_frames)
+        f_ref, f_dis = ref_frames[0], dis_frames[0]
         spec_ref = ConvertSpec.for_frame(f_ref, *cc_ref)
         spec_dis = ConvertSpec.for_frame(f_dis, *cc_dis)
         step = self._get_step(spec_ref, spec_dis)
+        pad_spec = getattr(step, "pad_spec", None)
+        if pad_spec is not None:
+            # Padded-YUV fast path: stack straight into the kernel's padded
+            # layout on the host — no stack+pad copies on device.
+            ref_arrays = _stack_padded_yuv(ref_frames, dis_frames, *pad_spec)
+            dis_arrays = ref_arrays  # unused by the padded step
+        else:
+            ref_arrays, _ = self._stack(ref_frames)
+            dis_arrays, _ = self._stack(dis_frames)
 
         # Auxiliary streaming state: previous reference frame (XPSNR temporal
         # activity; the stream's first frame sees itself) and previous blurred

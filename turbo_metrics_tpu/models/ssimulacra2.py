@@ -226,6 +226,7 @@ def ssimulacra2_subscores_from_yuv(
     transfer: str = "bt709",
     full_range: bool = False,
     ds_bufs: Optional[list] = None,
+    padded_planes: Optional[tuple] = None,
     interpret: bool = False,
     **kernel_kwargs,
 ):
@@ -235,7 +236,9 @@ def ssimulacra2_subscores_from_yuv(
     HBM), remaining levels consume its emitted padded chain.  Bit-identical
     on TPU to the producer + v4 path; gate availability with
     scale_stats.fused_yuv_ok(h, w).  ``kernel_kwargs`` (w_pass, precision,
-    cbrt) select the blur engine for every level."""
+    cbrt) select the blur engine for every level.  ``padded_planes``
+    (scale_stats.pad_yuv_planes output) skips the in-step pad copies —
+    y2/uv2 may then be the padded luma/None."""
     from turbo_metrics_tpu.ops.pallas.scale_stats import (
         fused_scale0_yuv_pallas,
         norms_from_sums,
@@ -243,11 +246,14 @@ def ssimulacra2_subscores_from_yuv(
 
     emit = num_scales > 1
     ds0 = ds_bufs[0] if (ds_bufs and emit) else None
+    if padded_planes is not None:
+        y2 = uv2 = padded_planes[0]
     sums0, ds12 = fused_scale0_yuv_pallas(
         y2, uv2, h, w,
         depth=depth, matrix=matrix, transfer=transfer,
         full_range=full_range,
-        emit_ds=emit, ds_buf=ds0, interpret=interpret, **kernel_kwargs,
+        emit_ds=emit, ds_buf=ds0, padded_planes=padded_planes,
+        interpret=interpret, **kernel_kwargs,
     )
     per0 = norms_from_sums(sums0, h * w)[:, :, None]  # (B, 3, 1, 2, 3)
     if not emit:

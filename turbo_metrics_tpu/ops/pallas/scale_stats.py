@@ -982,18 +982,30 @@ _WT_CHUNK = 128  # output rows (blurred columns) per chunk
 _WT_WIN = 144  # 8-aligned input window: 128 outputs + 10 halo + align slack
 
 
-def _band_matrix_wt(taps) -> np.ndarray:
-    """(WT_CHUNK, WT_WIN) left band matrix for the transposed W pass: chunk
-    j yields blurred cols [128j, 128(j+1)) from transposed-input rows
-    [128j + COL_HALO4 - 8, ... + WT_WIN); the same matrix serves every
+def _band_matrix_wt(taps, chunk: int = _WT_CHUNK, win: int = _WT_WIN) -> np.ndarray:
+    """(chunk, win) left band matrix for the transposed W pass: chunk j
+    yields blurred cols [chunk*j, chunk*(j+1)) from transposed-input rows
+    [chunk*j + COL_HALO4 - 8, ... + win); the same matrix serves every
     chunk."""
-    m = np.zeros((_WT_CHUNK, _WT_WIN), np.float32)
-    r = np.arange(_WT_CHUNK)
+    m = np.zeros((chunk, win), np.float32)
+    r = np.arange(chunk)
     for k, t in enumerate(taps):
-        # Output col 128j+r = sum_k taps[k] * q[128j + r + COL_HALO4 - 5 + k]
-        # and the window starts at 128j + COL_HALO4 - 8.
+        # Output col chunk*j+r = sum_k taps[k] * q[chunk*j + r + COL_HALO4
+        # - 5 + k] and the window starts at chunk*j + COL_HALO4 - 8.
         m[r, r + 8 - RADIUS + k] = np.float32(t)
     return m
+
+
+def _mxuc_w_band(taps, w_layout: str) -> np.ndarray:
+    """(2, ...) bf16-limb W band matrix for the mxuC engine's W layout:
+    't' = transposed 128-chunks (144 MACs/output), 't256' = transposed
+    256-chunks (half the matmul instructions, ~1.9x the MACs), 'r' =
+    natural-orientation right-multiply (no transposes, ~2.7x the MACs)."""
+    if w_layout == "r":
+        return _split_bf16_np(_band_matrix_wchunk(taps))
+    if w_layout == "t256":
+        return _split_bf16_np(_band_matrix_wt(taps, 256, 272))
+    return _split_bf16_np(_band_matrix_wt(taps))
 
 
 def _maps_and_sums(
@@ -1109,7 +1121,7 @@ def _split3(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
 def _maps_and_sums_consistent(
     out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
     rows, cols, kappa, row0, col0, h, w, fastdiv="div",
-    map_chunk=0, mxu_sums=False,
+    map_chunk=0, mxu_sums=False, w_layout="t",
 ):
     """Consistent-limb packed MXU blur ('mxuC'): HIGHEST-class accuracy at
     bf16-pass cost.
@@ -1200,7 +1212,7 @@ def _maps_and_sums_consistent(
         + dot(hm1, pb0) + dot(hm1, pb1)
     )
 
-    # Repack quantity segments along sublanes; ONE transpose for the W pass.
+    # Repack quantity segments along sublanes.
     segs = [
         jax.lax.slice(ha, (0, i * cols), (tile_h, (i + 1) * cols))
         for i in range(6)
@@ -1208,31 +1220,64 @@ def _maps_and_sums_consistent(
         jax.lax.slice(hb, (0, i * cols), (tile_h, (i + 1) * cols))
         for i in range(6)
     ]
-    pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*tile_h)
-    t0, t1, t2 = _split3(pt)
     nq = 12 * tile_h
-    chunks = []
-    for j in range(tile_w // _WT_CHUNK):
-        s = j * _WT_CHUNK + COL_HALO4 - 8
-        # Column validity folded into this chunk's W band limbs (window
-        # element k sits at global column col0 - 8 + j*WT_CHUNK + k).
-        gc = jax.lax.broadcasted_iota(jnp.int32, (1, _WT_WIN), 1) + (
-            col0 + j * _WT_CHUNK - 8
-        )
-        cvm = ((gc >= 0) & (gc < w)).astype(jnp.bfloat16)
-        w0j, w1j = w0 * cvm, w1 * cvm
+    if w_layout == "r":
+        # Right-multiply W pass: no transposes at all — the sublane pack
+        # stays in natural orientation and each 128-aligned lane window is
+        # band-matmuled from the right ((nq, win) @ (win, chunk)).  More
+        # MXU MACs per output than the transposed form (the window must be
+        # 128-lane aligned), zero VPU transpose work.
+        ps = jnp.concatenate(segs, axis=0)  # (12*tile_h, cols)
+        s0_, s1_, s2_ = _split3(ps)
+        win, chunk = wt2.shape[1], wt2.shape[2]
+        chunks = []
+        for j in range(tile_w // chunk):
+            s = j * chunk
+            # Window element k sits at global column col0 - COL_HALO4 +
+            # j*chunk + k; fold validity into the band rows.
+            gc = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0) + (
+                col0 - COL_HALO4 + s
+            )
+            cvm = ((gc >= 0) & (gc < w)).astype(jnp.bfloat16)
+            w0j, w1j = w0 * cvm, w1 * cvm
 
-        def sl(t, s=s):
-            return jax.lax.slice(t, (s, 0), (s + _WT_WIN, nq))
+            def sl(t, s=s):
+                return jax.lax.slice(t, (0, s), (nq, s + win))
 
-        x0, x1, x2 = sl(t0), sl(t1), sl(t2)
-        chunks.append(
-            dot(w0j, x0) + dot(w0j, x1) + dot(w0j, x2)
-            + dot(w1j, x0) + dot(w1j, x1)
-        )
-    # kappa matches the 2-limb filter's sum to the oracle's f32 taps (see
-    # _tapsum_kappa); the back-transpose restores full-lane orientation.
-    wt_nat = (jnp.concatenate(chunks, axis=0) * jnp.float32(kappa)).T
+            x0, x1, x2 = sl(s0_), sl(s1_), sl(s2_)
+            chunks.append(
+                dot(x0, w0j) + dot(x1, w0j) + dot(x2, w0j)
+                + dot(x0, w1j) + dot(x1, w1j)
+            )
+        wt_nat = jnp.concatenate(chunks, axis=1) * jnp.float32(kappa)
+    else:
+        # Transposed W pass ('t'): ONE transpose in, chunk windows need only
+        # 8-sublane alignment (144 MACs/output), ONE transpose back.
+        pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*tile_h)
+        t0, t1, t2 = _split3(pt)
+        chunk, win = wt2.shape[1], wt2.shape[2]
+        chunks = []
+        for j in range(tile_w // chunk):
+            s = j * chunk + COL_HALO4 - 8
+            # Column validity folded into this chunk's W band limbs (window
+            # element k sits at global column col0 - 8 + j*chunk + k).
+            gc = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1) + (
+                col0 + j * chunk - 8
+            )
+            cvm = ((gc >= 0) & (gc < w)).astype(jnp.bfloat16)
+            w0j, w1j = w0 * cvm, w1 * cvm
+
+            def sl(t, s=s):
+                return jax.lax.slice(t, (s, 0), (s + win, nq))
+
+            x0, x1, x2 = sl(t0), sl(t1), sl(t2)
+            chunks.append(
+                dot(w0j, x0) + dot(w0j, x1) + dot(w0j, x2)
+                + dot(w1j, x0) + dot(w1j, x1)
+            )
+        # kappa matches the 2-limb filter's sum to the oracle's f32 taps
+        # (_tapsum_kappa); the back-transpose restores full-lane orientation.
+        wt_nat = (jnp.concatenate(chunks, axis=0) * jnp.float32(kappa)).T
 
     def bq(i):  # blurred quantity i, natural (tile_h, tile_w)
         return jax.lax.slice(
@@ -1291,13 +1336,13 @@ def _maps_and_sums_consistent(
 
             aa = jnp.abs(i2 - mu2)
             bb2 = jnp.abs(i1 - mu1)
-            d1m = _map_div(aa - bb2, one + bb2, fastdiv)
+            # Masking d1m once replaces masking art and det separately:
+            # max(x*m, 0) == max(x, 0)*m for m in {0, 1}.
+            d1m = _map_div(aa - bb2, one + bb2, fastdiv) * msk
             art = jnp.maximum(d1m, 0.0)
             det = jnp.maximum(-d1m, 0.0)
 
             d = d * msk
-            art = art * msk
-            det = det * msk
             d2 = d * d
             art2 = art * art
             det2 = det * det
@@ -1589,6 +1634,7 @@ def _fused_scale_kernel_v4(
     fastdiv: str = "div",
     map_chunk: int = 0,
     mxu_sums: bool = False,
+    w_layout: str = "t",
 ):
     """One pyramid level: XYB + 4-blur + maps + sums, plus (emit_ds) the
     exact 2x2-mean downscale of the linear tile written straight into the
@@ -1685,13 +1731,15 @@ def _fused_scale_kernel_v4(
         )
 
     # ---- XYB + blur + maps + sums (as v3) ----
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=1)
-    gr_ids = row_ids + row0 - ROW_HALO4
-    gc_ids = col_ids + col0 - COL_HALO4
-    valid = (
-        (gr_ids >= 0) & (gr_ids < h) & (gc_ids >= 0) & (gc_ids < w)
-    ).astype(jnp.float32)
+    valid = None
+    if w_pass != "mxuC":  # mxuC folds validity into the band matrices
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=1)
+        gr_ids = row_ids + row0 - ROW_HALO4
+        gc_ids = col_ids + col0 - COL_HALO4
+        valid = (
+            (gr_ids >= 0) & (gr_ids < h) & (gc_ids >= 0) & (gc_ids < w)
+        ).astype(jnp.float32)
 
     def opsin_mix(t, row):
         m = OPSIN_ABSORBANCE_MATRIX
@@ -1827,7 +1875,7 @@ def _fused_scale_kernel_v4(
             out_ref, xyb_channel, hmat, wmat,
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
             row0, col0, h, w, fastdiv=fastdiv,
-            map_chunk=map_chunk, mxu_sums=mxu_sums,
+            map_chunk=map_chunk, mxu_sums=mxu_sums, w_layout=w_layout,
         )
     elif w_pass == "mxuX":
         _maps_and_sums_exact_mxu(
@@ -1878,6 +1926,7 @@ def _fused_scale0_yuv_kernel(
     fastdiv: str = "div",
     map_chunk: int = 0,
     mxu_sums: bool = False,
+    w_layout: str = "t",
 ):
     """v5: scale 0 straight from padded u8 YUV planes — the conversion
     (range offsets, matrix, exact chunked one-hot chroma upsample, EOTF,
@@ -1914,6 +1963,11 @@ def _fused_scale0_yuv_kernel(
     crows = rows // 2
     ccols = cols // 2
     prec = _PRECISIONS.get(precision)
+    # mxuC folds validity into the band matrices and the input planes are
+    # padded with (minimum, neutral) — converted RGB is exactly 0 outside
+    # the image by construction — so the full-size validity mask and its 6
+    # plane multiplies exist only for the fallback engines.
+    needs_valid = w_pass != "mxuC"
 
     nsteps = bsz * nth * ntw
     step = (p * nth + th) * ntw + tw
@@ -1959,14 +2013,16 @@ def _fused_scale0_yuv_kernel(
     row0 = pl.multiple_of(th * tile_h, 8)
     col0 = pl.multiple_of(tw * tile_w, 128)
 
-    # Validity mask over the padded tile.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=1)
-    gr_ids = row_ids + row0 - ROW_HALO4
-    gc_ids = col_ids + col0 - COL_HALO4
-    valid = (
-        (gr_ids >= 0) & (gr_ids < h) & (gc_ids >= 0) & (gc_ids < w)
-    ).astype(jnp.float32)
+    valid = None
+    if needs_valid:
+        # Validity mask over the padded tile.
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=1)
+        gr_ids = row_ids + row0 - ROW_HALO4
+        gc_ids = col_ids + col0 - COL_HALO4
+        valid = (
+            (gr_ids >= 0) & (gr_ids < h) & (gc_ids >= 0) & (gc_ids < w)
+        ).astype(jnp.float32)
 
     # ---- in-kernel conversion: u8 YUV tile -> linear RGB planes ----
     y_coeff, r_coeff, b_coeff, g_coeff1, g_coeff2 = (
@@ -2040,8 +2096,13 @@ def _fused_scale0_yuv_kernel(
         r_ = r_coeff * ucr
         g_ = g_coeff1 * ucb + g_coeff2 * ucr
         b_ = b_coeff * ucb
+        # Outside the image the padded planes hold (minimum, neutral), so
+        # luma + c_ is exactly 0 there and every EOTF maps 0 -> 0: the RGB
+        # planes are already zero at padded positions with no mask multiply.
         rgbs.append(tuple(
-            jnp.clip(eotf(luma + c_), 0.0, 1.0) * valid
+            jnp.clip(eotf(luma + c_), 0.0, 1.0)
+            if valid is None
+            else jnp.clip(eotf(luma + c_), 0.0, 1.0) * valid
             for c_ in (r_, g_, b_)
         ))
 
@@ -2108,7 +2169,7 @@ def _fused_scale0_yuv_kernel(
             out_ref, xyb_channel, hmat, wmat,
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
             row0, col0, h, w, fastdiv=fastdiv,
-            map_chunk=map_chunk, mxu_sums=mxu_sums,
+            map_chunk=map_chunk, mxu_sums=mxu_sums, w_layout=w_layout,
         )
     else:
         _maps_and_sums(
@@ -2137,7 +2198,9 @@ def fused_scale0_yuv_pallas(
     fastdiv: str = "div",
     map_chunk: int = 0,
     mxu_sums: bool = False,
+    w_layout: str = "t",
     ds_buf: jax.Array | None = None,
+    padded_planes: tuple[jax.Array, jax.Array, jax.Array] | None = None,
     interpret: bool = False,
 ):
     """Scale 0 of the pyramid straight from YUV 4:2:0 — conversion fused.
@@ -2146,6 +2209,11 @@ def fused_scale0_yuv_pallas(
     Returns (sums (B, 3, 6), ds12) with ds12 the level-1 padded input —
     full-resolution linear RGB never exists in HBM.  Requires even tile
     geometry (pad_geom4 tile_h/tile_w already are).
+
+    ``padded_planes``: optional (yp, up, vp) already in the padded layout
+    (see pad_yuv_planes) — skips the in-step pad copies entirely (the
+    engine pads once at upload time); y2/uv2 are then only consulted for
+    batch size and dtype and may be the planes themselves.
 
     Measured on a real chip the sums are BIT-IDENTICAL to the producer +
     v4 path (and 17.51 -> 16.85 ms per 1080p batch-8 step).  In Pallas
@@ -2166,6 +2234,8 @@ def fused_scale0_yuv_pallas(
         raise ValueError(
             f"fused YUV scale-0 needs tile_w % 256 == 0 (got {tile_w})"
         )
+    if w_layout == "t256" and tile_w % 256:
+        w_layout = "t"  # 256-chunks need a 256-multiple tile width
     rows = tile_h + 2 * ROW_HALO4
     cols = tile_w + 2 * COL_HALO4
     taps = tuple(float(v) for v in gaussian_taps())
@@ -2181,26 +2251,39 @@ def fused_scale0_yuv_pallas(
         -2.0 * (1.0 - kr) * kr / kg / rng.chroma_range,
     )
 
-    # Padded u8 planes: luma origin (8, 128) in the pad_geom4 grid extent;
-    # chroma origin (4, 64) at half geometry.  Zero padding: the in-kernel
-    # mask recreates the producer's exact semantics.
+    # Padded integer planes: luma origin (8, 128) in the pad_geom4 grid
+    # extent; chroma origin (4, 64) at half geometry.  Pads hold (minimum,
+    # neutral) so the converted RGB is exactly 0 outside the image — the
+    # kernel then needs no full-size validity multiply (blur zero-extension
+    # is folded into the mxuC band matrices, and the interior sums mask
+    # handles the rest).
     hp_y, wp_y = ROW_HALO4 + nth * tile_h + ROW_HALO4, COL_HALO4 + ntw * tile_w + COL_HALO4
     ch, cw = (h + 1) // 2, (w + 1) // 2
     dt = y2.dtype
-    yp = jnp.pad(
-        y2, ((0, 0), (0, 0), (ROW_HALO4, hp_y - h - ROW_HALO4),
-             (COL_HALO4, wp_y - w - COL_HALO4)),
-    )
-    up_ = jnp.pad(
-        uv2[..., 0],
-        ((0, 0), (0, 0), (ROW_HALO4 // 2, hp_y // 2 - ch - ROW_HALO4 // 2),
-         (COL_HALO4 // 2, wp_y // 2 - cw - COL_HALO4 // 2)),
-    )
-    vp_ = jnp.pad(
-        uv2[..., 1],
-        ((0, 0), (0, 0), (ROW_HALO4 // 2, hp_y // 2 - ch - ROW_HALO4 // 2),
-         (COL_HALO4 // 2, wp_y // 2 - cw - COL_HALO4 // 2)),
-    )
+    pad_y = int(round(rng.minimum))
+    pad_c = int(round(rng.neutral))
+    if padded_planes is not None:
+        yp, up_, vp_ = padded_planes
+        assert yp.shape == (2, bsz, hp_y, wp_y), (yp.shape, (hp_y, wp_y))
+        assert up_.shape == vp_.shape == (2, bsz, hp_y // 2, wp_y // 2)
+    else:
+        yp = jnp.pad(
+            y2, ((0, 0), (0, 0), (ROW_HALO4, hp_y - h - ROW_HALO4),
+                 (COL_HALO4, wp_y - w - COL_HALO4)),
+            constant_values=np.asarray(pad_y, y2.dtype),
+        )
+        up_ = jnp.pad(
+            uv2[..., 0],
+            ((0, 0), (0, 0), (ROW_HALO4 // 2, hp_y // 2 - ch - ROW_HALO4 // 2),
+             (COL_HALO4 // 2, wp_y // 2 - cw - COL_HALO4 // 2)),
+            constant_values=np.asarray(pad_c, uv2.dtype),
+        )
+        vp_ = jnp.pad(
+            uv2[..., 1],
+            ((0, 0), (0, 0), (ROW_HALO4 // 2, hp_y // 2 - ch - ROW_HALO4 // 2),
+             (COL_HALO4 // 2, wp_y // 2 - cw - COL_HALO4 // 2)),
+            constant_values=np.asarray(pad_c, uv2.dtype),
+        )
 
     inputs = [yp, up_, vp_]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
@@ -2214,11 +2297,10 @@ def fused_scale0_yuv_pallas(
         inputs.append(jnp.asarray(hmat))
         in_specs.append(pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)))
     if w_pass == "mxuC":
-        inputs.append(jnp.asarray(_split_bf16_np(_band_matrix_wt(taps))))
+        wm = _mxuc_w_band(taps, w_layout)
+        inputs.append(jnp.asarray(wm))
         in_specs.append(
-            pl.BlockSpec(
-                (2, _WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0, 0)
-            )
+            pl.BlockSpec(wm.shape, lambda p, th, tw: (0, 0, 0))
         )
     elif w_pass == "mxuX":
         inputs.append(jnp.asarray(_band_matrix_wt(taps)))
@@ -2285,6 +2367,7 @@ def fused_scale0_yuv_pallas(
         fastdiv=fastdiv,
         map_chunk=map_chunk,
         mxu_sums=mxu_sums,
+        w_layout=w_layout,
     )
     outs = pl.pallas_call(
         kernel,
@@ -2479,6 +2562,57 @@ def ds_buffer_hw(h: int, w: int) -> tuple[int, int]:
     return hp2, wp2
 
 
+def padded_yuv_geometry(h: int, w: int) -> tuple[int, int]:
+    """(hp_y, wp_y) of the padded luma plane fused_scale0_yuv_pallas reads
+    (chroma planes are exactly half in both dims)."""
+    tile_h, tile_w, nth, ntw, _, _ = pad_geom4(h, w)
+    return (
+        ROW_HALO4 + nth * tile_h + ROW_HALO4,
+        COL_HALO4 + ntw * tile_w + COL_HALO4,
+    )
+
+
+def pad_yuv_planes(
+    y2,
+    uv2,
+    h: int,
+    w: int,
+    *,
+    depth: int = 8,
+    full_range: bool = False,
+    xp=np,
+):
+    """Build the (yp, up, vp) padded planes for fused_scale0_yuv_pallas's
+    ``padded_planes`` fast path — pads hold (minimum, neutral) so converted
+    RGB is exactly 0 outside the image.  ``xp`` selects numpy (pad on the
+    host at upload time — the product path) or jnp (on device)."""
+    from turbo_metrics_tpu.ops import colorspace
+
+    rng = colorspace.sample_range(depth, full_range)
+    hp_y, wp_y = padded_yuv_geometry(h, w)
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    pad_y = int(round(rng.minimum))
+    pad_c = int(round(rng.neutral))
+    yp = xp.pad(
+        y2, ((0, 0), (0, 0), (ROW_HALO4, hp_y - h - ROW_HALO4),
+             (COL_HALO4, wp_y - w - COL_HALO4)),
+        constant_values=pad_y,
+    )
+    up_ = xp.pad(
+        uv2[..., 0],
+        ((0, 0), (0, 0), (ROW_HALO4 // 2, hp_y // 2 - ch - ROW_HALO4 // 2),
+         (COL_HALO4 // 2, wp_y // 2 - cw - COL_HALO4 // 2)),
+        constant_values=pad_c,
+    )
+    vp_ = xp.pad(
+        uv2[..., 1],
+        ((0, 0), (0, 0), (ROW_HALO4 // 2, hp_y // 2 - ch - ROW_HALO4 // 2),
+         (COL_HALO4 // 2, wp_y // 2 - cw - COL_HALO4 // 2)),
+        constant_values=pad_c,
+    )
+    return yp, up_, vp_
+
+
 def fused_tail_pallas(
     p12: jax.Array,
     dims: list[tuple[int, int]],
@@ -2549,6 +2683,7 @@ def fused_scale_pallas_v4(
     fastdiv: str = "div",
     map_chunk: int = 0,
     mxu_sums: bool = False,
+    w_layout: str = "t",
     ds_buf: jax.Array | None = None,
     interpret: bool = False,
 ):
@@ -2585,6 +2720,8 @@ def fused_scale_pallas_v4(
     cols = tile_w + 2 * COL_HALO4
     taps = tuple(float(v) for v in gaussian_taps())
 
+    if w_layout == "t256" and tile_w % 256:
+        w_layout = "t"  # 256-chunks need a 256-multiple tile width
     hmat = _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)
     inputs = [lin12_padded]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
@@ -2597,11 +2734,10 @@ def fused_scale_pallas_v4(
         inputs.append(jnp.asarray(hmat))
         in_specs.append(pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)))
     if w_pass == "mxuC":
-        inputs.append(jnp.asarray(_split_bf16_np(_band_matrix_wt(taps))))
+        wm = _mxuc_w_band(taps, w_layout)
+        inputs.append(jnp.asarray(wm))
         in_specs.append(
-            pl.BlockSpec(
-                (2, _WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0, 0)
-            )
+            pl.BlockSpec(wm.shape, lambda p, th, tw: (0, 0, 0))
         )
     elif w_pass == "mxuX":
         inputs.append(jnp.asarray(_band_matrix_wt(taps)))
@@ -2699,6 +2835,7 @@ def fused_scale_pallas_v4(
         fastdiv=fastdiv,
         map_chunk=map_chunk,
         mxu_sums=mxu_sums,
+        w_layout=w_layout,
     )
     outs = pl.pallas_call(
         kernel,
