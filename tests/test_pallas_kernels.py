@@ -306,3 +306,30 @@ def test_msssim_pallas_chain_odd_dims(rng):
     m_jnp = np.asarray(quality.msssim(a, b, backend="jnp"))
     m_pal = np.asarray(quality.msssim(a, b, backend="interpret"))
     assert np.abs(m_jnp - m_pal).max() < 5e-6
+
+
+@pytest.mark.parametrize("hw", [(96, 128), (96, 1100), (161, 300)])
+def test_vif_pallas_matches_oracle(rng, hw):
+    """Fused Pallas VIF vs the jnp path and the f64 oracle: multi-tile
+    columns (1100 -> tile_w=768 x2), multi-tile rows, odd decimation."""
+    from turbo_metrics_tpu.ops.vif import vif_scale_stats, vif_scores
+    from turbo_metrics_tpu.refimpl.vif import vif_frame
+
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    ref = (128 + 80 * np.sin(xx / 11) * np.cos(yy / 7)).astype(np.float32)
+    dis = np.clip(
+        ref + rng.normal(0, 4, ref.shape).astype(np.float32), 0, 255
+    )
+    s_pal = np.asarray(
+        vif_scale_stats(ref[None], dis[None], backend="interpret")
+    )
+    got = vif_scores(s_pal)
+    want = vif_frame(ref, dis)
+    for k in ("vif_scale0", "vif_scale1", "vif_scale2", "vif_scale3", "vif"):
+        assert float(got[k][0]) == pytest.approx(want[k], rel=2e-4), k
+    same = vif_scores(
+        np.asarray(vif_scale_stats(ref[None], ref[None], backend="interpret"))
+    )
+    for k in range(4):
+        assert float(same[f"vif_scale{k}"][0]) == pytest.approx(1.0, abs=1e-3)

@@ -1,0 +1,426 @@
+"""Fused Pallas VIF (4-scale) megakernel.
+
+The jnp formulation (ops/vif.py) is HBM-bound: the 17-tap scale-0 window
+alone is 34 full-array shifted FMAs x 5 blur quantities (measured
+30.7 ms/batch-8 at 1080p — VMAF's dominant cost).  This kernel reuses the
+SSIMULACRA2/windowed machinery (ops/pallas/scale_stats.py): padded tile
+layout, banded-matrix H pass on the MXU (f32-exact HIGHEST), transposed
+128-chunk W pass (the 17-tap radius-8 window exactly fills the standard
+144-wide chunk window), per-tile num/den partial sums, and in-kernel
+emission of the next scale's input.
+
+VIF specifics vs the SSIM kernel:
+
+* Borders are libvmaf's reflect-101 (refimpl/vif.py), not zero-extension
+  or valid-correlation.  The halo region of the padded layout is
+  mirror-filled host-side (``_pad_reflect_layout`` / ``_mirror_halos``)
+  so in-kernel plain band matrices produce exactly the mirrored blur for
+  every in-image center; only radius <= 8 = ROW_HALO4 columns/rows of the
+  halo are needed.
+* The next scale's input is decimate2(blur(x, win_{k+1})) with the NEXT
+  scale's window applied at THIS scale's resolution (libvmaf vif.c /
+  vifp_mscale.m convention, see ops/vif.py docstring) — so each emitting
+  scale blurs TWO quantity groups: 5 with window A (its own) for the
+  statistics, 2 with window B (the next scale's) for the emission.
+  Decimation keeps even rows/cols: an exact [1,0] row fold plus a one-hot
+  even-column matmul.
+
+Reference parity: ops/vif.py == libvmaf float VIF conventions; this kernel
+is tested against both the jnp path and the f64 oracle
+(turbo_metrics_tpu/refimpl/vif.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from turbo_metrics_tpu.ops.pallas.scale_stats import (
+    COL_HALO4,
+    ROW_HALO4,
+    TILE_H4,
+    TILE_W4,
+    _band_matrix_h,
+    _round_up,
+)
+
+_WT_CHUNK = 128
+_WT_WIN = 144  # fits radius-8 (17-tap) windows exactly: 127 + 8 + 8 + 1
+
+
+def _band_wt(taps, chunk: int = _WT_CHUNK, win: int = _WT_WIN) -> np.ndarray:
+    """Transposed-W-pass band matrix for an arbitrary odd window (the
+    scale_stats version hardcodes the 11-tap radius): chunk j yields
+    blurred cols [chunk*j, chunk*(j+1)) from transposed-input rows
+    starting at chunk*j + COL_HALO4 - 8."""
+    r_ = len(taps) // 2
+    assert r_ <= 8 and chunk + 8 + r_ <= win
+    m = np.zeros((chunk, win), np.float32)
+    rr = np.arange(chunk)
+    for k, t in enumerate(taps):
+        m[rr, rr + 8 - r_ + k] = np.float32(t)
+    return m
+
+SIGMA_NSQ = np.float32(2.0)
+EPS = np.float32(1e-10)
+NUM_SCALES = 4
+_RADII = (8, 4, 2, 1)  # vif_window(k) has 2^(4-k)+1 taps
+
+
+def _vif_geom(h: int, w: int) -> tuple[int, int, int, int, int, int]:
+    """pad_geom4-style geometry constrained so emit_ds is always legal:
+    multi-tile rows need tile_h % 16 == 0 (64 always is) and multi-tile
+    columns need tile_w % 256 == 0 (the half-tile DMA destination must be
+    128-aligned)."""
+    tile_h = min(TILE_H4, _round_up(h, 8))
+    wr = _round_up(w, 128)
+    if wr <= TILE_W4:
+        tile_w, ntw = wr, 1
+    else:
+        best = None
+        for n in range(2, -(-w // 128) + 1):
+            t = _round_up(-(-w // n), 256)
+            if t > TILE_W4:
+                continue
+            cost = n * (t + 2 * COL_HALO4)
+            if best is None or cost < best[0]:
+                best = (cost, t, n)
+        _, tile_w, ntw = best
+    nth = -(-h // tile_h)
+    hp = ROW_HALO4 + nth * tile_h + ROW_HALO4
+    wp = COL_HALO4 + ntw * tile_w + COL_HALO4
+    return tile_h, tile_w, nth, ntw, hp, wp
+
+
+def _vif_ds_hw(h: int, w: int) -> tuple[int, int]:
+    """Emitted-buffer extent: covers this scale's staging writes and the
+    next scale's tile grid (cf. scale_stats.ds_buffer_hw)."""
+    tile_h, tile_w, nth, ntw, _, _ = _vif_geom(h, w)
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    t2h, t2w, n2h, n2w, _, _ = _vif_geom(h2, w2)
+    dh, dw = tile_h // 2, tile_w // 2
+    dh_p, dw_p = _round_up(dh, 8), _round_up(dw, 128)
+    hp2 = ROW_HALO4 + max(n2h * t2h, (nth - 1) * dh + dh_p) + ROW_HALO4
+    wp2 = COL_HALO4 + max(n2w * t2w, (ntw - 1) * dw + dw_p) + COL_HALO4
+    return hp2, wp2
+
+
+def _pad_reflect_layout(x: jax.Array, h: int, w: int, r: int) -> jax.Array:
+    """(..., h, w) -> (..., hp, wp): r-px reflect-101 halo, zeros beyond."""
+    _, _, _, _, hp, wp = _vif_geom(h, w)
+    lead = [(0, 0)] * (x.ndim - 2)
+    xr = jnp.pad(x, lead + [(r, r), (r, r)], mode="reflect")
+    return jnp.pad(
+        xr,
+        lead
+        + [
+            (ROW_HALO4 - r, hp - h - ROW_HALO4 - r),
+            (COL_HALO4 - r, wp - w - COL_HALO4 - r),
+        ],
+    )
+
+
+def _mirror_halos(buf: jax.Array, h: int, w: int, r: int) -> jax.Array:
+    """Fill an r-px reflect-101 halo around the (h, w) image stored at
+    (ROW_HALO4, COL_HALO4) in ``buf`` (..., hp, wp).  Rows first, then
+    columns over the row-filled buffer, so corners come out right."""
+    R, C = ROW_HALO4, COL_HALO4
+    buf = buf.at[..., R - r : R, :].set(buf[..., R + 1 : R + 1 + r, :][..., ::-1, :])
+    buf = buf.at[..., R + h : R + h + r, :].set(
+        buf[..., R + h - 1 - r : R + h - 1, :][..., ::-1, :]
+    )
+    buf = buf.at[..., :, C - r : C].set(buf[..., :, C + 1 : C + 1 + r][..., ::-1])
+    buf = buf.at[..., :, C + w : C + w + r].set(
+        buf[..., :, C + w - 1 - r : C + w - 1][..., ::-1]
+    )
+    return buf
+
+
+def _vif_kernel(
+    *refs,
+    h: int,
+    w: int,
+    tile_h: int,
+    tile_w: int,
+    nth: int,
+    ntw: int,
+    bsz: int,
+    emit_ds: bool,
+):
+    it = iter(refs)
+    q12_hbm = next(it)  # (2, B, hp, wp) f32, mirror-filled halos
+    hmat_a = next(it)  # (tile_h, rows)
+    wmat_a = next(it)  # (_WT_CHUNK, _WT_WIN)
+    if emit_ds:
+        hmat_b = next(it)
+        wmat_b = next(it)
+        _z = next(it)  # zeros-aliased ds buffer (consumed via the output)
+    out_ref = next(it)  # (1, 1, 1, 8, 8)
+    ds_ref = next(it) if emit_ds else None  # (2, B, hp2, wp2)
+    t1 = next(it)  # VMEM (2, rows, cols)
+    t2 = next(it)
+    sems = next(it)  # DMA (2, 2)
+    ds_store = next(it) if emit_ds else None  # (2, dh_p, dw_p)
+    ds_sems = next(it) if emit_ds else None  # DMA (2,)
+
+    p = pl.program_id(0)
+    th = pl.program_id(1)
+    tw = pl.program_id(2)
+    rows = tile_h + 2 * ROW_HALO4
+    cols = tile_w + 2 * COL_HALO4
+
+    nsteps = bsz * nth * ntw
+    step = (p * nth + th) * ntw + tw
+
+    def dma_pair(idx, slot):
+        p_ = idx // (nth * ntw)
+        rem = idx % (nth * ntw)
+        row0_ = pl.multiple_of((rem // ntw) * tile_h, 8)
+        col0_ = pl.multiple_of((rem % ntw) * tile_w, 128)
+        d1 = pltpu.make_async_copy(
+            q12_hbm.at[0, p_, pl.ds(row0_, rows), pl.ds(col0_, cols)],
+            t1.at[slot],
+            sems.at[slot, 0],
+        )
+        d2 = pltpu.make_async_copy(
+            q12_hbm.at[1, p_, pl.ds(row0_, rows), pl.ds(col0_, cols)],
+            t2.at[slot],
+            sems.at[slot, 1],
+        )
+        return d1, d2
+
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        d1, d2 = dma_pair(step, slot)
+        d1.start()
+        d2.start()
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        d1, d2 = dma_pair(step + 1, jax.lax.rem(step + 1, 2))
+        d1.start()
+        d2.start()
+
+    d1, d2 = dma_pair(step, slot)
+    d1.wait()
+    d2.wait()
+    a = t1[slot]  # (rows, cols)
+    b = t2[slot]
+
+    row0 = pl.multiple_of(th * tile_h, 8)
+    col0 = pl.multiple_of(tw * tile_w, 128)
+
+    dims = (((1,), (0,)), ((), ()))
+
+    def doth(x, y):
+        return jax.lax.dot_general(
+            x, y, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    def blur_group(qs, hmat, wmat):
+        nq = len(qs)
+        pack = jnp.concatenate(qs, axis=1)  # (rows, nq*cols)
+        hp_ = doth(hmat[...], pack)  # (tile_h, nq*cols)
+        segs = [
+            jax.lax.slice(hp_, (0, i * cols), (tile_h, (i + 1) * cols))
+            for i in range(nq)
+        ]
+        pt = jnp.concatenate(segs, axis=0).T  # (cols, nq*tile_h)
+        wm = wmat[...]
+        chunks = []
+        for j in range(tile_w // _WT_CHUNK):
+            s = j * _WT_CHUNK + COL_HALO4 - 8
+            win = jax.lax.slice(pt, (s, 0), (s + _WT_WIN, nq * tile_h))
+            chunks.append(doth(wm, win))
+        wt_nat = jnp.concatenate(chunks, axis=0).T  # (nq*tile_h, tile_w)
+        return [
+            jax.lax.slice(wt_nat, (i * tile_h, 0), ((i + 1) * tile_h, tile_w))
+            for i in range(nq)
+        ]
+
+    mu1, mu2, br2, bd2, brd = blur_group(
+        [a, b, a * a, b * b, a * b], hmat_a, wmat_a
+    )
+
+    ds_copies = []
+    if emit_ds:
+        dh = tile_h // 2
+        dh_p = _round_up(dh, 8)
+        dw_p = _round_up(tile_w // 2, 128)
+        ea, eb = blur_group([a, b], hmat_b, wmat_b)
+        s_cols = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=0)
+            == 2 * jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=1)
+        ).astype(jnp.float32)
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        rid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 0) + row0 // 2
+        cid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 1) + col0 // 2
+        keep = ((rid < h2) & (cid < w2)).astype(jnp.float32)
+        wrow = jnp.concatenate(
+            [jnp.ones((dh, 1, tile_w), jnp.float32),
+             jnp.zeros((dh, 1, tile_w), jnp.float32)], axis=1,
+        )
+        for img_idx, q in enumerate((ea, eb)):
+            rsel = (q.reshape(dh, 2, tile_w) * wrow).sum(axis=1)  # even rows
+            if dh_p != dh:
+                rsel = jnp.pad(rsel, ((0, dh_p - dh), (0, 0)))
+            quad = doth(rsel, s_cols) * keep  # even cols, one-hot exact
+            ds_store[img_idx] = quad
+            dst_r = pl.multiple_of(ROW_HALO4 + row0 // 2, 8)
+            dst_c = pl.multiple_of(COL_HALO4 + col0 // 2, 128)
+            cp = pltpu.make_async_copy(
+                ds_store.at[img_idx],
+                ds_ref.at[img_idx, p, pl.ds(dst_r, dh_p), pl.ds(dst_c, dw_p)],
+                ds_sems.at[img_idx],
+            )
+            cp.start()
+            ds_copies.append(cp)
+
+    # Per-pixel VIF map (guard order mirrors ops/vif.py / libvmaf).
+    s11 = jnp.maximum(br2 - mu1 * mu1, 0.0)
+    s22 = jnp.maximum(bd2 - mu2 * mu2, 0.0)
+    s12 = brd - mu1 * mu2
+    g = s12 / (s11 + EPS)
+    sv_sq = s22 - g * s12
+    g = jnp.where(s11 < EPS, 0.0, g)
+    sv_sq = jnp.where(s11 < EPS, s22, sv_sq)
+    s11c = jnp.where(s11 < EPS, 0.0, s11)
+    sv_sq = jnp.where(s22 < EPS, 0.0, sv_sq)
+    g = jnp.where(s22 < EPS, 0.0, g)
+    sv_sq = jnp.where(g < 0.0, s22, sv_sq)
+    g = jnp.maximum(g, 0.0)
+    sv_sq = jnp.maximum(sv_sq, EPS)
+
+    inv_ln2 = np.float32(1.0 / np.log(2.0))
+    num = jnp.log(1.0 + g * g * s11c / (sv_sq + SIGMA_NSQ)) * inv_ln2
+    den = jnp.log(1.0 + s11c / SIGMA_NSQ) * inv_ln2
+
+    mri = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + row0
+    mci = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + col0
+    mask = ((mri < h) & (mci < w)).astype(jnp.float32)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    out_ref[0, 0, 0, 0, :] = jnp.stack(
+        [jnp.sum(num * mask), jnp.sum(den * mask)] + [jnp.float32(0.0)] * 6
+    )
+
+    for cp in ds_copies:
+        cp.wait()
+
+
+def _vif_scale_pallas(
+    q12: jax.Array, h: int, w: int, scale: int, *,
+    emit_ds: bool, interpret: bool = False,
+):
+    """One VIF scale on the padded mirror-filled layout.
+
+    Returns ((B, 2) [num, den] sums, ds) where ds is the next scale's
+    (2, B, hp2, wp2) buffer (decimated window-B blur, halos NOT yet
+    mirror-filled) when ``emit_ds``."""
+    two, bsz = q12.shape[0], q12.shape[1]
+    assert two == 2
+    tile_h, tile_w, nth, ntw, hp, wp = _vif_geom(h, w)
+    assert q12.shape[-2] >= hp and q12.shape[-1] >= wp, (q12.shape, hp, wp)
+    rows = tile_h + 2 * ROW_HALO4
+    cols = tile_w + 2 * COL_HALO4
+
+    from turbo_metrics_tpu.ops.vif import vif_window
+
+    taps_a = tuple(float(t) for t in vif_window(scale))
+    r_a = _RADII[scale]
+    hmat_a = _band_matrix_h(tile_h, rows, taps_a, ROW_HALO4 - r_a)
+    wmat_a = _band_wt(taps_a)
+
+    inputs = [q12, jnp.asarray(hmat_a), jnp.asarray(wmat_a)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)),
+        pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0)),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, 1, 1, 8, 8), lambda p, th, tw: (p, th, tw, 0, 0))
+    ]
+    scratch = [
+        pltpu.VMEM((2, rows, cols), jnp.float32),
+        pltpu.VMEM((2, rows, cols), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    aliases = {}
+    if emit_ds:
+        taps_b = tuple(float(t) for t in vif_window(scale + 1))
+        r_b = _RADII[scale + 1]
+        hmat_b = _band_matrix_h(tile_h, rows, taps_b, ROW_HALO4 - r_b)
+        wmat_b = _band_wt(taps_b)
+        in_specs.insert(3, pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)))
+        in_specs.insert(
+            4, pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0))
+        )
+        inputs.insert(3, jnp.asarray(hmat_b))
+        inputs.insert(4, jnp.asarray(wmat_b))
+        hp2, wp2 = _vif_ds_hw(h, w)
+        dh_p = _round_up(tile_h // 2, 8)
+        dw_p = _round_up(tile_w // 2, 128)
+        inputs.append(jnp.zeros((2, bsz, hp2, wp2), jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shapes.append(jax.ShapeDtypeStruct((2, bsz, hp2, wp2), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        aliases = {len(inputs) - 1: 1}
+        scratch += [
+            pltpu.VMEM((2, dh_p, dw_p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
+    kernel = functools.partial(
+        _vif_kernel,
+        h=h, w=w, tile_h=tile_h, tile_w=tile_w,
+        nth=nth, ntw=ntw, bsz=bsz, emit_ds=emit_ds,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nth, ntw),
+        in_specs=in_specs,
+        out_specs=out_specs if emit_ds else out_specs[0],
+        out_shape=out_shapes if emit_ds else out_shapes[0],
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if emit_ds:
+        out, ds = outs
+    else:
+        out, ds = outs, None
+    return out[:, :, :, 0, :2].sum(axis=(1, 2)), ds
+
+
+def vif_scale_stats_pallas(
+    ref: jax.Array, dis: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """Drop-in for ops/vif.vif_scale_stats: (B, H, W) f32 luma in 8-bit
+    units -> (B, 4, 2) per-scale [num, den] sums."""
+    h, w = ref.shape[-2], ref.shape[-1]
+    out = []
+    q12 = None
+    for k in range(NUM_SCALES):
+        r_a = _RADII[k]
+        if k == 0:
+            q12 = _pad_reflect_layout(jnp.stack([ref, dis]), h, w, r_a)
+        else:
+            h, w = (h + 1) // 2, (w + 1) // 2
+            q12 = _mirror_halos(q12, h, w, r_a)
+        sums, q12 = _vif_scale_pallas(
+            q12, h, w, k, emit_ds=k < NUM_SCALES - 1, interpret=interpret
+        )
+        out.append(sums)
+    return jnp.stack(out, axis=-2)

@@ -61,11 +61,30 @@ def _decimate2(x: jax.Array) -> jax.Array:
     return x[..., ::2, ::2]
 
 
-def vif_scale_stats(ref: jax.Array, dis: jax.Array) -> jax.Array:
+def default_backend() -> str:
+    return "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+
+
+def vif_scale_stats(
+    ref: jax.Array, dis: jax.Array, *, backend: str | None = None
+) -> jax.Array:
     """Per-scale (num, den) sums for (B, H, W) f32 luma in 8-bit units.
 
     Returns (B, 4, 2): [..., k, 0] = num_k, [..., k, 1] = den_k.
+
+    ``backend``: 'pallas' (fused megakernel, TPU default), 'jnp' (the
+    XLA-fused slice-FMA path, CPU default and small-image fallback), or
+    'interpret' (Pallas interpreter, for CPU testing).
     """
+    if backend is None:
+        backend = default_backend()
+    h, w = ref.shape[-2], ref.shape[-1]
+    if backend in ("pallas", "interpret") and min(h, w) >= 32:
+        from turbo_metrics_tpu.ops.pallas.vif import vif_scale_stats_pallas
+
+        return vif_scale_stats_pallas(
+            ref, dis, interpret=backend == "interpret"
+        )
     out = []
     for k in range(NUM_SCALES):
         win = vif_window(k)
