@@ -333,3 +333,30 @@ def test_vif_pallas_matches_oracle(rng, hw):
     )
     for k in range(4):
         assert float(same[f"vif_scale{k}"][0]) == pytest.approx(1.0, abs=1e-3)
+
+
+@pytest.mark.parametrize("hw", [(96, 128), (96, 1100), (161, 300)])
+def test_adm_pallas_matches_oracle(rng, hw):
+    """Fused Pallas ADM (DWT + mask kernels) vs the jnp path and oracle."""
+    from turbo_metrics_tpu.ops.adm import adm_score, adm_stats
+    from turbo_metrics_tpu.refimpl.adm import adm_frame
+
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    ref = (128 + 80 * np.sin(xx / 11) * np.cos(yy / 7)).astype(np.float32)
+    dis = np.clip(
+        ref + rng.normal(0, 4, ref.shape).astype(np.float32), 0, 255
+    )
+    s_pal = np.asarray(adm_stats(ref[None], dis[None], backend="interpret"))
+    got = adm_score(s_pal, h, w)
+    want = adm_frame(ref, dis)
+    # Tolerance note: the decoupling angle gate (adm.py step 2) is
+    # DISCONTINUOUS — a band value change of ~1e-6 (the MXU DWT's f32
+    # summation-order rounding vs the oracle) can flip a near-tie pixel and
+    # shift a scale score by ~5e-4 (measured: exactly one flipped pixel at
+    # 161x300/seed 1234).  libvmaf's own float path has the same
+    # sensitivity vs an f64 oracle.
+    for k in ("adm_scale0", "adm_scale1", "adm_scale2", "adm_scale3", "adm2"):
+        assert float(got[k][0]) == pytest.approx(
+            float(want[k]), rel=5e-3, abs=1e-3
+        ), k

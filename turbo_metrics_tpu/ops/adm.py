@@ -150,12 +150,32 @@ def _mask_filter(x: jax.Array) -> jax.Array:
     return acc
 
 
-def adm_stats(y_ref: jax.Array, y_dis: jax.Array) -> jax.Array:
+def default_backend() -> str:
+    return "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+
+
+def adm_stats(
+    y_ref: jax.Array, y_dis: jax.Array, *, backend: str | None = None
+) -> jax.Array:
     """Per-scale, per-band centre-region cube sums for (B, H, W) f32 luma.
 
     Returns (B, NUM_LEVELS, 3, 2): [..., b, 0] = sum |masked csf*r_b|^3,
     [..., b, 1] = sum |csf*o_b|^3 over the centre region, bands b = (H, V, D).
+
+    ``backend``: 'pallas' (fused DWT/mask kernels, TPU default), 'jnp'
+    (XLA-fused path, CPU default and small-image fallback), 'interpret'
+    (Pallas interpreter, for CPU testing).
     """
+    if backend is None:
+        backend = default_backend()
+    h, w = y_ref.shape[-2], y_ref.shape[-1]
+    if backend in ("pallas", "interpret") and min(h, w) >= 32:
+        from turbo_metrics_tpu.ops.pallas.adm import adm_stats_pallas
+
+        return adm_stats_pallas(
+            y_ref.astype(jnp.float32), y_dis.astype(jnp.float32),
+            interpret=backend == "interpret",
+        )
     o = y_ref.astype(jnp.float32)
     t = y_dis.astype(jnp.float32)
     eps = np.float32(DECOUPLE_EPS)
