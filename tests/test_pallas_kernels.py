@@ -360,3 +360,28 @@ def test_adm_pallas_matches_oracle(rng, hw):
         assert float(got[k][0]) == pytest.approx(
             float(want[k]), rel=5e-3, abs=1e-3
         ), k
+
+
+@pytest.mark.parametrize("hw", [(161, 300), (96, 1100)])
+def test_vif_tail_matches_perscale(rng, hw):
+    """Fused VIF tail (scales 1-3 in one kernel, reflect folded into edge
+    band matrices) vs the per-scale kernels and the oracle."""
+    from turbo_metrics_tpu.ops.pallas.vif import vif_scale_stats_pallas
+    from turbo_metrics_tpu.ops.vif import vif_scores
+    from turbo_metrics_tpu.refimpl.vif import vif_frame
+
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    ref = (128 + 80 * np.sin(xx / 11) * np.cos(yy / 7)).astype(np.float32)
+    dis = np.clip(
+        ref + rng.normal(0, 4, ref.shape).astype(np.float32), 0, 255
+    )
+    s_tail = np.asarray(
+        vif_scale_stats_pallas(
+            ref[None], dis[None], use_tail=True, interpret=True
+        )
+    )
+    got = vif_scores(s_tail)
+    want = vif_frame(ref, dis)
+    for k in ("vif_scale0", "vif_scale1", "vif_scale2", "vif_scale3", "vif"):
+        assert float(got[k][0]) == pytest.approx(want[k], rel=2e-4), k

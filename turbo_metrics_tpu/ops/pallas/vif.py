@@ -405,22 +405,39 @@ def _vif_scale_pallas(
 
 
 def vif_scale_stats_pallas(
-    ref: jax.Array, dis: jax.Array, *, interpret: bool = False
+    ref: jax.Array,
+    dis: jax.Array,
+    *,
+    use_tail: bool = True,
+    interpret: bool = False,
 ) -> jax.Array:
     """Drop-in for ops/vif.vif_scale_stats: (B, H, W) f32 luma in 8-bit
-    units -> (B, 4, 2) per-scale [num, den] sums."""
+    units -> (B, 4, 2) per-scale [num, den] sums.
+
+    ``use_tail``: run scales 1-3 as ONE fused kernel (vif_tail.py) instead
+    of per-scale kernels + jnp mirror fixups, when the geometry allows."""
     h, w = ref.shape[-2], ref.shape[-1]
-    out = []
-    q12 = None
-    for k in range(NUM_SCALES):
-        r_a = _RADII[k]
-        if k == 0:
-            q12 = _pad_reflect_layout(jnp.stack([ref, dis]), h, w, r_a)
-        else:
-            h, w = (h + 1) // 2, (w + 1) // 2
-            q12 = _mirror_halos(q12, h, w, r_a)
+    q12 = _pad_reflect_layout(jnp.stack([ref, dis]), h, w, _RADII[0])
+    sums0, q12 = _vif_scale_pallas(
+        q12, h, w, 0, emit_ds=True, interpret=interpret
+    )
+    h1, w1 = (h + 1) // 2, (w + 1) // 2
+    if use_tail:
+        from turbo_metrics_tpu.ops.pallas.vif_tail import (
+            vif_tail_ok,
+            vif_tail_pallas,
+        )
+
+        if vif_tail_ok(h1, w1, q12.shape):
+            rest = vif_tail_pallas(q12, h1, w1, interpret=interpret)
+            return jnp.concatenate([sums0[:, None], rest], axis=-2)
+    out = [sums0]
+    hh, ww = h, w
+    for k in range(1, NUM_SCALES):
+        hh, ww = (hh + 1) // 2, (ww + 1) // 2
+        q12 = _mirror_halos(q12, hh, ww, _RADII[k])
         sums, q12 = _vif_scale_pallas(
-            q12, h, w, k, emit_ds=k < NUM_SCALES - 1, interpret=interpret
+            q12, hh, ww, k, emit_ds=k < NUM_SCALES - 1, interpret=interpret
         )
         out.append(sums)
     return jnp.stack(out, axis=-2)
