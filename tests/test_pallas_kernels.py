@@ -385,3 +385,29 @@ def test_vif_tail_matches_perscale(rng, hw):
     want = vif_frame(ref, dis)
     for k in ("vif_scale0", "vif_scale1", "vif_scale2", "vif_scale3", "vif"):
         assert float(got[k][0]) == pytest.approx(want[k], rel=2e-4), k
+
+
+@pytest.mark.parametrize("hw_depth", [(96, 128, 8), (161, 300, 8), (96, 1100, 10)])
+def test_xpsnr_pallas_bit_exact(rng, hw_depth):
+    """Fused Pallas XPSNR block stats are bit-exact vs the jnp path
+    (separable highpass decomposition + exact f32 block sums, hi/lo SSE
+    limbs above 8-bit)."""
+    from turbo_metrics_tpu.ops.xpsnr_ops import xpsnr_block_stats
+
+    h, w, depth = hw_depth
+    hi = (1 << depth) - 1
+    dt = np.uint8 if depth == 8 else np.uint16
+    r = rng.integers(0, hi + 1, (2, h, w), dtype=dt)
+    d = np.clip(
+        r.astype(np.int32) + rng.integers(-40, 40, r.shape), 0, hi
+    ).astype(dt)
+    p = np.roll(r, 3, axis=2)
+    want = xpsnr_block_stats(
+        jnp.asarray(r), jnp.asarray(d), jnp.asarray(p), backend="jnp"
+    )
+    got = xpsnr_block_stats(
+        jnp.asarray(r), jnp.asarray(d), jnp.asarray(p),
+        depth=depth, backend="interpret",
+    )
+    for k in ("sse", "sact", "tact"):
+        assert np.array_equal(np.asarray(got[k]), np.asarray(want[k])), k

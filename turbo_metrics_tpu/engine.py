@@ -650,7 +650,9 @@ class TurboMetrics:
                         spec_ref.depth,
                     )
                     y_prev = _luma_code(spec_ref, aux["prev_ref"])
-                    out["xpsnr_stats"] = xpsnr_block_stats(y_ref, y_dis, y_prev)
+                    out["xpsnr_stats"] = xpsnr_block_stats(
+                        y_ref, y_dis, y_prev, depth=spec_ref.depth
+                    )
                 if metrics.vmaf:
                     from turbo_metrics_tpu.ops.adm import adm_stats
                     from turbo_metrics_tpu.ops.vif import vif_scale_stats
