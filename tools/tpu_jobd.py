@@ -32,6 +32,9 @@ def main() -> int:
     import numpy as np
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # NOTE: if backend init fails (tunnel down), just exit — JAX caches the
+    # failure in-process, so retrying here can never succeed.  Run the
+    # daemon under tools/tpu_jobd_loop.sh, which restarts a fresh process.
     t0 = time.perf_counter()
     print("devices:", jax.devices(), flush=True)
     _ = float(jnp.ones((8, 128)).sum())
