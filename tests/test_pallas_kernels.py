@@ -411,3 +411,29 @@ def test_xpsnr_pallas_bit_exact(rng, hw_depth):
     )
     for k in ("sse", "sact", "tact"):
         assert np.array_equal(np.asarray(got[k]), np.asarray(want[k])), k
+
+
+@pytest.mark.parametrize("hw_depth", [(96, 128, 8), (161, 300, 8), (96, 1100, 10)])
+def test_motion_pallas_bit_exact(rng, hw_depth):
+    """Fused Pallas motion (integer blur + SAD) is bit-exact vs the jnp
+    path (exact i32 arithmetic, hi/lo byte split on the H pass)."""
+    from turbo_metrics_tpu.ops.vmaf_motion import integer_blur, motion_stats
+
+    h, w, depth = hw_depth
+    hi = (1 << depth) - 1
+    dt = np.uint8 if depth == 8 else np.uint16
+    y = rng.integers(0, hi + 1, (2, h, w), dtype=dt)
+    prev = rng.integers(0, 65536, (2, h, w), dtype=np.uint16)
+    b_j = np.asarray(integer_blur(jnp.asarray(y), depth=depth, backend="jnp"))
+    b_p = np.asarray(
+        integer_blur(jnp.asarray(y), depth=depth, backend="interpret")
+    )
+    assert np.array_equal(b_j, b_p)
+    m_j = motion_stats(
+        jnp.asarray(y), jnp.asarray(prev), depth=depth, backend="jnp"
+    )
+    m_p = motion_stats(
+        jnp.asarray(y), jnp.asarray(prev), depth=depth, backend="interpret"
+    )
+    assert np.array_equal(np.asarray(m_j["blurred"]), np.asarray(m_p["blurred"]))
+    assert np.array_equal(np.asarray(m_j["sad_rows"]), np.asarray(m_p["sad_rows"]))

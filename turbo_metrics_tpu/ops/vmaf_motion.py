@@ -33,8 +33,29 @@ def _pad_mirror(x: jax.Array, axis: int) -> jax.Array:
     return jnp.concatenate([lo, x, hi], axis=axis)
 
 
-def integer_blur(y: jax.Array, *, depth: int = 8) -> jax.Array:
-    """Exact-integer separable 5-tap blur of (..., H, W) luma -> uint16."""
+def _default_backend() -> str:
+    return "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+
+
+def integer_blur(
+    y: jax.Array, *, depth: int = 8, backend: str | None = None
+) -> jax.Array:
+    """Exact-integer separable 5-tap blur of (..., H, W) luma -> uint16.
+
+    The Pallas backend (TPU default for batched 3-D inputs) is bit-exact;
+    'interpret' runs it on the CPU interpreter for tests."""
+    if backend is None:
+        backend = _default_backend()
+    if (
+        backend in ("pallas", "interpret")
+        and y.ndim == 3
+        and min(y.shape[-2], y.shape[-1]) >= 32
+    ):
+        from turbo_metrics_tpu.ops.pallas.motion import integer_blur_pallas
+
+        return integer_blur_pallas(
+            y, depth=depth, interpret=backend == "interpret"
+        )
     x = y.astype(jnp.uint32)
     h, w = y.shape[-2], y.shape[-1]
 
@@ -52,13 +73,31 @@ def integer_blur(y: jax.Array, *, depth: int = 8) -> jax.Array:
     return ((acc2 + jnp.uint32(32768)) >> 16).astype(jnp.uint16)
 
 
-def motion_stats(y: jax.Array, prev_blurred: jax.Array, *, depth: int = 8) -> dict:
+def motion_stats(
+    y: jax.Array,
+    prev_blurred: jax.Array,
+    *,
+    depth: int = 8,
+    backend: str | None = None,
+) -> dict:
     """Blur the current luma and SAD it against the previous blurred frame.
 
     Returns {'blurred': (..., H, W) u16, 'sad_rows': (..., H) u32} — row sums
     keep the device reduction in u32 range; the host finishes in int64.
     """
-    blurred = integer_blur(y, depth=depth)
+    if backend is None:
+        backend = _default_backend()
+    if (
+        backend in ("pallas", "interpret")
+        and y.ndim == 3
+        and min(y.shape[-2], y.shape[-1]) >= 32
+    ):
+        from turbo_metrics_tpu.ops.pallas.motion import motion_stats_pallas
+
+        return motion_stats_pallas(
+            y, prev_blurred, depth=depth, interpret=backend == "interpret"
+        )
+    blurred = integer_blur(y, depth=depth, backend="jnp")
     diff = jnp.abs(
         blurred.astype(jnp.int32) - prev_blurred.astype(jnp.int32)
     ).astype(jnp.uint32)
