@@ -437,3 +437,22 @@ def test_motion_pallas_bit_exact(rng, hw_depth):
     )
     assert np.array_equal(np.asarray(m_j["blurred"]), np.asarray(m_p["blurred"]))
     assert np.array_equal(np.asarray(m_j["sad_rows"]), np.asarray(m_p["sad_rows"]))
+
+
+def test_msssim_tail_matches_jnp(rng):
+    """Fused MS-SSIM tail (levels 1-4 in one kernel) vs the jnp chain.
+    176x368 is the smallest-ish size where the tail engages (level-4 dims
+    must exceed the 11-tap window)."""
+    from turbo_metrics_tpu.ops import quality
+    from turbo_metrics_tpu.ops.pallas.windowed_tail import msssim_tail_ok
+
+    h, w = 176, 368
+    assert msssim_tail_ok(h // 2, w // 2, (2, 1, 3, 10**6, 10**6))
+    a = jnp.asarray(rng.integers(0, 256, (1, 3, h, w)).astype(np.float32))
+    b = jnp.clip(
+        a + jnp.asarray(rng.normal(0, 6, a.shape).astype(np.float32)),
+        0, 255,
+    )
+    m_jnp = np.asarray(quality.msssim(a, b, backend="jnp"))
+    m_pal = np.asarray(quality.msssim(a, b, backend="interpret"))
+    assert np.abs(m_jnp - m_pal).max() < 5e-6

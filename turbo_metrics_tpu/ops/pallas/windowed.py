@@ -382,8 +382,32 @@ def msssim_level_means(
     pad+pool cost ~doubled MS-SSIM's step time on chip)."""
     h, w = a.shape[-2], a.shape[-1]
     q12 = pad_to_layout4(jnp.stack([a, b]), h, w)
-    out = []
-    for lvl in range(levels):
+    if levels > 1:
+        from turbo_metrics_tpu.ops.pallas.windowed_tail import (
+            msssim_tail_ok,
+            msssim_tail_pallas,
+        )
+
+        sums0, ds12 = ssim_sums_pallas(
+            q12, h, w, emit_ds=True, interpret=interpret
+        )
+        h1, w1 = h // 2, w // 2
+        if levels == 5 and msssim_tail_ok(h1, w1, ds12.shape):
+            # Levels 1-4 in one kernel (windowed_tail.py) — kills the
+            # per-level launch + HBM round-trip costs of the small levels.
+            tail = msssim_tail_pallas(ds12, h1, w1, interpret=interpret)
+            out = [_means(sums0, h, w)]
+            lh, lw = h1, w1
+            for li in range(4):
+                out.append(_means(tail[:, li], lh, lw))
+                lh, lw = lh // 2, lw // 2
+            return out
+        out = [_means(sums0, h, w)]
+        q12, h, w = ds12, h1, w1
+        start = 1
+    else:
+        out, start = [], 0
+    for lvl in range(start, levels):
         sums, ds12 = ssim_sums_pallas(
             q12, h, w, emit_ds=lvl < levels - 1, interpret=interpret
         )
