@@ -332,7 +332,7 @@ def _adm_mask_kernel(
     out_ref = next(it)  # (1, 1, 1, 8, 8)
     tf = next(it)  # VMEM (2, 6, toh, tow)
     ts = next(it)  # VMEM (2, toh + 16, tow + 256)
-    sems = next(it)  # DMA (2, 2)
+    sems = next(it)  # DMA (2, 7)
 
     p = pl.program_id(0)
     th = pl.program_id(1)
@@ -342,40 +342,42 @@ def _adm_mask_kernel(
     step = (p * nbh + th) * nbw + tw
 
     def dmas(idx, slot):
+        # One DMA per plane: a strided multi-plane source slice is riskier
+        # than 7 plain 2-D window copies.
         p_ = idx // (nbh * nbw)
         rem = idx % (nbh * nbw)
         r0 = pl.multiple_of((rem // nbw) * toh, 8)
         c0 = pl.multiple_of((rem % nbw) * tow, 128)
-        d1 = pltpu.make_async_copy(
-            feat_hbm.at[
-                pl.ds(0, 6), p_,
-                pl.ds(r0 + ROW_HALO, toh), pl.ds(c0 + COL_HALO, tow),
-            ],
-            tf.at[slot], sems.at[slot, 0],
-        )
-        d2 = pltpu.make_async_copy(
+        out = [
+            pltpu.make_async_copy(
+                feat_hbm.at[
+                    i, p_,
+                    pl.ds(r0 + ROW_HALO, toh), pl.ds(c0 + COL_HALO, tow),
+                ],
+                tf.at[slot, i], sems.at[slot, i],
+            )
+            for i in range(6)
+        ]
+        out.append(pltpu.make_async_copy(
             feat_hbm.at[6, p_, pl.ds(r0, toh + 16), pl.ds(c0, tow + 256)],
-            ts.at[slot], sems.at[slot, 1],
-        )
-        return d1, d2
+            ts.at[slot], sems.at[slot, 6],
+        ))
+        return out
 
     slot = jax.lax.rem(step, 2)
 
     @pl.when(step == 0)
     def _():
-        d1, d2 = dmas(step, slot)
-        d1.start()
-        d2.start()
+        for d in dmas(step, slot):
+            d.start()
 
     @pl.when(step + 1 < nsteps)
     def _():
-        d1, d2 = dmas(step + 1, jax.lax.rem(step + 1, 2))
-        d1.start()
-        d2.start()
+        for d in dmas(step + 1, jax.lax.rem(step + 1, 2)):
+            d.start()
 
-    d1, d2 = dmas(step, slot)
-    d1.wait()
-    d2.wait()
+    for d in dmas(step, slot):
+        d.wait()
 
     row0 = pl.multiple_of(th * toh, 8)
     col0 = pl.multiple_of(tw * tow, 128)
@@ -516,7 +518,7 @@ def _adm_level_run(
         scratch_shapes=[
             pltpu.VMEM((2, 6, toh, tow), jnp.float32),
             pltpu.VMEM((2, toh + 16, tow + 256), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 7)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
