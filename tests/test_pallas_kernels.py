@@ -456,3 +456,31 @@ def test_msssim_tail_matches_jnp(rng):
     m_jnp = np.asarray(quality.msssim(a, b, backend="jnp"))
     m_pal = np.asarray(quality.msssim(a, b, backend="interpret"))
     assert np.abs(m_jnp - m_pal).max() < 5e-6
+
+
+def test_ssimulacra2_tail2_matches_chain(rng):
+    """Full-pyramid tail (levels 1-5 in one kernel) vs the per-level v4
+    chain: same mxuC machinery, expect f32-rounding-level agreement."""
+    import turbo_metrics_tpu.models.ssimulacra2 as s2m
+
+    lin1 = rng.random((1, 3, 208, 272)).astype(np.float32)
+    lin2 = np.clip(
+        lin1 + rng.normal(0, 0.03, lin1.shape).astype(np.float32), 0, 1
+    )
+    old_tail, old_t2 = s2m.TAIL_MAX_BYTES, s2m.USE_TAIL2
+    try:
+        s2m.TAIL_MAX_BYTES = 0  # per-level chain as the reference
+        a = np.asarray(
+            s2m.ssimulacra2_subscores(
+                lin1, lin2, num_scales=6, backend="interpret3"
+            )
+        )
+        s2m.USE_TAIL2 = True
+        b = np.asarray(
+            s2m.ssimulacra2_subscores(
+                lin1, lin2, num_scales=6, backend="interpret3"
+            )
+        )
+    finally:
+        s2m.TAIL_MAX_BYTES, s2m.USE_TAIL2 = old_tail, old_t2
+    assert np.abs(a - b).max() < 1e-6

@@ -38,6 +38,12 @@ NUM_SCALES = 6
 # fused_tail_pallas).  0 disables the tail (per-level kernels only).
 TAIL_MAX_BYTES = 8 * 1024 * 1024
 
+# Full-pyramid tail (ops/pallas/scale_tail.py): run ALL five remaining
+# levels after scale 0 in one tiled kernel (mxuC machinery, levels chained
+# in VMEM).  Opt-in until the on-chip A/B against the v4-chain composition
+# lands.
+USE_TAIL2 = False
+
 
 def default_backend() -> str:
     """Fused Pallas padded-chain on TPU, plain jnp elsewhere (CPU tests)."""
@@ -185,6 +191,23 @@ def ssimulacra2_subscores_from_padded(
     s = 0
     while s < num_scales:
         remaining = num_scales - s
+        if remaining == 5 and USE_TAIL2 and not kernel_kwargs:
+            from turbo_metrics_tpu.ops.pallas.scale_tail import (
+                fused_pyramid_tail_pallas,
+                tail2_ok,
+            )
+
+            if tail2_ok(h, w, p12.shape):
+                raw = fused_pyramid_tail_pallas(
+                    p12, h, w, interpret=interpret
+                )
+                lh, lw = h, w
+                for li in range(5):
+                    per_scale.append(
+                        norms_from_sums(raw[:, li, :, :6], lh * lw)
+                    )
+                    lh, lw = (lh + 1) // 2, (lw + 1) // 2
+                break
         if remaining >= 2 and tail_plane_bytes(h, w) <= TAIL_MAX_BYTES:
             dims = []
             lh, lw = h, w

@@ -1121,7 +1121,7 @@ def _split3(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
 def _maps_and_sums_consistent(
     out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
     rows, cols, kappa, row0, col0, h, w, fastdiv="div",
-    map_chunk=0, mxu_sums=False, w_layout="t",
+    map_chunk=0, mxu_sums=False, w_layout="t", return_sums=False,
 ):
     """Consistent-limb packed MXU blur ('mxuC'): HIGHEST-class accuracy at
     bf16-pass cost.
@@ -1155,6 +1155,10 @@ def _maps_and_sums_consistent(
     back-transpose restores full-lane (tile_h, tile_w) maps and lets the
     interiors/mask come straight from the natural-orientation arrays.
 
+    With ``return_sums`` the per-channel sum lists are returned instead of
+    written to ``out_ref`` (for callers that accumulate across tiles, e.g.
+    the full-pyramid tail).
+
     Validity masking is FOLDED INTO THE BAND MATRICES: zeroing an
     out-of-image row of the xyb inputs equals zeroing the matching hmat
     column, and zeroing an out-of-image column equals zeroing the matching
@@ -1164,7 +1168,8 @@ def _maps_and_sums_consistent(
     skipping those 6 full-size VPU multiplies and the full-size validity
     iota.  Only the small interior mask on the final maps remains.
     """
-    out_ref[...] = jnp.zeros_like(out_ref)
+    if not return_sums:
+        out_ref[...] = jnp.zeros_like(out_ref)
     one = jnp.float32(1.0)
     # Fold row validity (blur zero-extension at image borders) into the
     # H band limbs: exact, since the mask is 0/1 and the limbs stay bf16.
@@ -1311,6 +1316,7 @@ def _maps_and_sums_consistent(
         return jnp.sum(r)
 
     cw = map_chunk or tile_w
+    all_accs = []
     for c in range(3):
         mu1f, mu2f = bq(2 * c), bq(2 * c + 1)
         s_sumf, s12f = bq(6 + 2 * c), bq(6 + 2 * c + 1)
@@ -1350,9 +1356,14 @@ def _maps_and_sums_consistent(
                 (d, d2 * d2, art, art2 * art2, det, det2 * det2)
             ):
                 accs[k] = accs[k] + _sum(m)
-        out_ref[0, 0, 0, c, :] = jnp.stack(
-            accs + [jnp.float32(0.0), jnp.float32(0.0)]
-        )
+        if return_sums:
+            all_accs.append(accs)
+        else:
+            out_ref[0, 0, 0, c, :] = jnp.stack(
+                accs + [jnp.float32(0.0), jnp.float32(0.0)]
+            )
+    if return_sums:
+        return all_accs
 
 
 def _maps_and_sums_exact_mxu(
