@@ -303,7 +303,13 @@ def ds_buffer_shapes_yuv(
     if num_scales <= 1:
         return []
     hp2, wp2 = ds_buffer_hw(h, w)
-    return [(2, bsz, 3, hp2, wp2)] + ds_buffer_shapes(
+    head = [(2, bsz, 3, hp2, wp2)]
+    if num_scales - 1 == 5 and USE_TAIL2:
+        from turbo_metrics_tpu.ops.pallas.scale_tail import tail2_ok
+
+        if tail2_ok((h + 1) // 2, (w + 1) // 2, (2, bsz, 3, hp2, wp2)):
+            return head  # the full-pyramid tail consumes no emit buffers
+    return head + ds_buffer_shapes(
         (h + 1) // 2, (w + 1) // 2, bsz, num_scales=num_scales - 1
     )
 
@@ -321,12 +327,23 @@ def ds_buffer_shapes(
 
     shapes = []
     s = 0
+    prev_hw = None
     while s < num_scales:
+        if num_scales - s == 5 and USE_TAIL2 and prev_hw is not None:
+            from turbo_metrics_tpu.ops.pallas.scale_tail import tail2_ok
+
+            # Mirror ssimulacra2_subscores_from_padded: the full-pyramid
+            # tail consumes no emit buffers.  This level's input buffer is
+            # the parent level's emit target.
+            probe = (2, bsz, 3) + ds_buffer_hw(*prev_hw)
+            if tail2_ok(h, w, probe):
+                break
         if num_scales - s >= 2 and tail_plane_bytes(h, w) <= TAIL_MAX_BYTES:
             break
         if s < num_scales - 1:
             hp2, wp2 = ds_buffer_hw(h, w)
             shapes.append((2, bsz, 3, hp2, wp2))
+        prev_hw = (h, w)
         h, w = (h + 1) // 2, (w + 1) // 2
         s += 1
     return shapes
