@@ -484,3 +484,28 @@ def test_ssimulacra2_tail2_matches_chain(rng):
     finally:
         s2m.TAIL_MAX_BYTES, s2m.USE_TAIL2 = old_tail, old_t2
     assert np.abs(a - b).max() < 1e-6
+
+
+@pytest.mark.parametrize("chroma", [422, 444])
+def test_pallas_convert_full_chroma(rng, chroma):
+    """The fused converter handles 4:2:2/4:4:4 on the real chroma grid
+    (engine fast path; the reference is stuck with NVDEC's 4:2:0)."""
+    from turbo_metrics_tpu.ops import colorspace
+    from turbo_metrics_tpu.ops.pallas.convert import yuv420_to_linear_rgb_pallas
+
+    h, w = 37, 53
+    ch = h if chroma in (422, 444) else -(-h // 2)
+    cw = w if chroma == 444 else -(-w // 2)
+    y = rng.integers(0, 256, (2, h, w), dtype=np.uint8)
+    uv = rng.integers(0, 256, (2, ch, cw, 2), dtype=np.uint8)
+    want = np.asarray(
+        colorspace.yuv420_to_linear_rgb(
+            jnp.asarray(y), jnp.asarray(uv), chroma=chroma
+        )
+    )
+    got = np.asarray(
+        yuv420_to_linear_rgb_pallas(
+            jnp.asarray(y), jnp.asarray(uv), chroma=chroma, interpret=True
+        )
+    )
+    assert np.abs(got - want).max() < 3e-6

@@ -213,7 +213,7 @@ def _convert_to_linear(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.
     elsewhere the jnp path keeps tests fast and exact."""
     if spec.kind == "yuv420":
         y, uv = arrays
-        if spec.chroma == 420 and jax.default_backend() == "tpu":
+        if spec.chroma in (420, 422, 444) and jax.default_backend() == "tpu":
             from turbo_metrics_tpu.ops.pallas.convert import (
                 yuv420_to_linear_rgb_pallas,
             )
@@ -225,9 +225,11 @@ def _convert_to_linear(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.
                 matrix=spec.matrix,
                 transfer=spec.transfer,
                 full_range=spec.full_range,
+                chroma=spec.chroma,
             )
-        # Full-chroma 4:2:2/4:4:4 uses the jnp conversion on the real chroma
-        # grid — better than the reference, which decimates to NVDEC's 4:2:0.
+        # Full-chroma 4:2:2/4:4:4 on CPU uses the jnp conversion on the real
+        # chroma grid — both beat the reference, which decimates to NVDEC's
+        # 4:2:0 surfaces.
         return colorspace.yuv420_to_linear_rgb(
             y,
             uv,

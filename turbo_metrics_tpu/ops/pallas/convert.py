@@ -50,25 +50,34 @@ def _up_matrices(tile_h: int, tile_w: int):
     return up_rows, up_cols
 
 
-def _up_exact(c: jax.Array, up_rows: jax.Array, up_cols: jax.Array) -> jax.Array:
-    """Exact 2x upsample on the MXU: each output selects ONE input, the 0/1
-    matrices are exact in bf16, and the 3-limb hi/mid/lo bf16 split is an
-    exact decomposition of f32 that re-sums exactly — bit-exact replication
-    at half the passes of a HIGHEST matmul."""
+def _up_exact(c: jax.Array, up_rows, up_cols) -> jax.Array:
+    """Exact chroma upsample on the MXU: each output selects ONE input, the
+    0/1 matrices are exact in bf16, and the 3-limb hi/mid/lo bf16 split is
+    an exact decomposition of f32 that re-sums exactly — bit-exact
+    replication at half the passes of a HIGHEST matmul.  ``up_rows`` /
+    ``up_cols`` may be None (that axis needs no upsample: 4:2:2 rows,
+    4:4:4 both)."""
+    if up_rows is None and up_cols is None:
+        return c
     hi = c.astype(jnp.bfloat16)
     r1 = c - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     acc = None
     for limb in (hi, mid, lo):
-        t = jax.lax.dot_general(
-            up_rows, limb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        t = jax.lax.dot_general(
-            t.astype(jnp.bfloat16), up_cols, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        t = limb
+        if up_rows is not None:
+            t = jax.lax.dot_general(
+                up_rows, t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        if up_cols is not None:
+            t = jax.lax.dot_general(
+                t, up_cols, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            t = t.astype(jnp.float32)
         acc = t if acc is None else acc + t
     return acc
 
@@ -85,6 +94,7 @@ def _convert_kernel(
     transfer: str,
     tile_h: int,
     tile_w: int,
+    chroma: int = 420,
 ):
     # Mosaic cannot cast uint8->f32 directly; hop through int32.
     y_coeff, r_coeff, b_coeff, g_coeff1, g_coeff2 = (jnp.float32(c) for c in coeffs)
@@ -95,8 +105,13 @@ def _convert_kernel(
     cb = u_ref[0].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
     cr = v_ref[0].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
 
-    # Nearest-neighbour 2x upsample via exact 0/1 replication matrices.
+    # Nearest-neighbour upsample via exact 0/1 replication matrices
+    # (420: both axes; 422: columns only; 444: none).
     up_rows, up_cols = _up_matrices(tile_h, tile_w)
+    if chroma == 444:
+        up_rows = up_cols = None
+    elif chroma == 422:
+        up_rows = None
     r_ = _up_exact(r_coeff * cr, up_rows, up_cols)
     g_ = _up_exact(g_coeff1 * cb + g_coeff2 * cr, up_rows, up_cols)
     b_ = _up_exact(b_coeff * cb, up_rows, up_cols)
@@ -115,12 +130,15 @@ def yuv420_to_linear_rgb_pallas(
     matrix: str = "bt709",
     transfer: str = "bt709",
     full_range: bool = False,
+    chroma: int = 420,
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in fused variant of colorspace.yuv420_to_linear_rgb.
 
-    ``y``: (B, H, W) integer luma; ``uv``: (B, ceil(H/2), ceil(W/2), 2).
-    Returns (B, 3, H, W) f32 linear RGB in [0, 1].
+    ``y``: (B, H, W) integer luma; ``uv``: (B, ch, cw, 2) at the
+    ``chroma`` subsampling's grid (420: ceil-half both axes; 422:
+    full-height, ceil-half width; 444: full).  Returns (B, 3, H, W) f32
+    linear RGB in [0, 1].
     """
     bsz, h, w = y.shape
     kr, kb = colorspace.MATRIX_KR_KB[matrix]
@@ -139,11 +157,16 @@ def yuv420_to_linear_rgb_pallas(
     nth = -(-h // tile_h)
     ntw = -(-w // tile_w)
     hp, wp = nth * tile_h, ntw * tile_w
-    ch, cw = (h + 1) // 2, (w + 1) // 2
+    cth = tile_h if chroma in (422, 444) else tile_h // 2
+    ctw = tile_w if chroma == 444 else tile_w // 2
+    ch = h if chroma in (422, 444) else (h + 1) // 2
+    cw = w if chroma == 444 else (w + 1) // 2
+    chp = nth * cth
+    cwp = ntw * ctw
 
     yp = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp - w)))
-    u = jnp.pad(uv[..., 0], ((0, 0), (0, hp // 2 - ch), (0, wp // 2 - cw)))
-    v = jnp.pad(uv[..., 1], ((0, 0), (0, hp // 2 - ch), (0, wp // 2 - cw)))
+    u = jnp.pad(uv[..., 0], ((0, 0), (0, chp - ch), (0, cwp - cw)))
+    v = jnp.pad(uv[..., 1], ((0, 0), (0, chp - ch), (0, cwp - cw)))
 
     kernel = functools.partial(
         _convert_kernel,
@@ -153,14 +176,15 @@ def yuv420_to_linear_rgb_pallas(
         transfer=transfer,
         tile_h=tile_h,
         tile_w=tile_w,
+        chroma=chroma,
     )
     out = pl.pallas_call(
         kernel,
         grid=(bsz, nth, ntw),
         in_specs=[
             pl.BlockSpec((1, tile_h, tile_w), lambda b, i, j: (b, i, j)),
-            pl.BlockSpec((1, tile_h // 2, tile_w // 2), lambda b, i, j: (b, i, j)),
-            pl.BlockSpec((1, tile_h // 2, tile_w // 2), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, cth, ctw), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, cth, ctw), lambda b, i, j: (b, i, j)),
         ],
         out_specs=pl.BlockSpec(
             (1, 3, tile_h, tile_w), lambda b, i, j: (b, 0, i, j)
