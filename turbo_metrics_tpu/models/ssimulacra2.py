@@ -45,6 +45,20 @@ TAIL_MAX_BYTES = 8 * 1024 * 1024
 USE_TAIL2 = False
 
 
+def _tail2_engages(
+    remaining: int, h: int, w: int, p12_shape, kernel_kwargs
+) -> bool:
+    """SINGLE source of truth for the full-pyramid-tail decision — used by
+    both the runtime (ssimulacra2_subscores_from_padded) and the ds-buffer
+    bookkeeping, so they can never disagree.  The tail hardcodes the
+    default (mxuC) engine, so any kernel variant kwargs disable it."""
+    if not USE_TAIL2 or remaining != 5 or kernel_kwargs:
+        return False
+    from turbo_metrics_tpu.ops.pallas.scale_tail import tail2_ok
+
+    return tail2_ok(h, w, p12_shape)
+
+
 def default_backend() -> str:
     """Fused Pallas padded-chain on TPU, plain jnp elsewhere (CPU tests)."""
     try:
@@ -191,23 +205,19 @@ def ssimulacra2_subscores_from_padded(
     s = 0
     while s < num_scales:
         remaining = num_scales - s
-        if remaining == 5 and USE_TAIL2 and not kernel_kwargs:
+        if _tail2_engages(remaining, h, w, p12.shape, kernel_kwargs):
             from turbo_metrics_tpu.ops.pallas.scale_tail import (
                 fused_pyramid_tail_pallas,
-                tail2_ok,
             )
 
-            if tail2_ok(h, w, p12.shape):
-                raw = fused_pyramid_tail_pallas(
-                    p12, h, w, interpret=interpret
+            raw = fused_pyramid_tail_pallas(p12, h, w, interpret=interpret)
+            lh, lw = h, w
+            for li in range(5):
+                per_scale.append(
+                    norms_from_sums(raw[:, li, :, :6], lh * lw)
                 )
-                lh, lw = h, w
-                for li in range(5):
-                    per_scale.append(
-                        norms_from_sums(raw[:, li, :, :6], lh * lw)
-                    )
-                    lh, lw = (lh + 1) // 2, (lw + 1) // 2
-                break
+                lh, lw = (lh + 1) // 2, (lw + 1) // 2
+            break
         if remaining >= 2 and tail_plane_bytes(h, w) <= TAIL_MAX_BYTES:
             dims = []
             lh, lw = h, w
@@ -294,7 +304,7 @@ def ssimulacra2_subscores_from_yuv(
 
 
 def ds_buffer_shapes_yuv(
-    h: int, w: int, bsz: int, *, num_scales: int
+    h: int, w: int, bsz: int, *, num_scales: int, kernel_kwargs=None
 ) -> list[tuple[int, ...]]:
     """ds-buffer shapes for ssimulacra2_subscores_from_yuv: the fused
     scale-0 always emits one buffer; the rest follow the padded chain."""
@@ -304,18 +314,19 @@ def ds_buffer_shapes_yuv(
         return []
     hp2, wp2 = ds_buffer_hw(h, w)
     head = [(2, bsz, 3, hp2, wp2)]
-    if num_scales - 1 == 5 and USE_TAIL2:
-        from turbo_metrics_tpu.ops.pallas.scale_tail import tail2_ok
-
-        if tail2_ok((h + 1) // 2, (w + 1) // 2, (2, bsz, 3, hp2, wp2)):
-            return head  # the full-pyramid tail consumes no emit buffers
+    if _tail2_engages(
+        num_scales - 1, (h + 1) // 2, (w + 1) // 2,
+        (2, bsz, 3, hp2, wp2), kernel_kwargs,
+    ):
+        return head  # the full-pyramid tail consumes no emit buffers
     return head + ds_buffer_shapes(
-        (h + 1) // 2, (w + 1) // 2, bsz, num_scales=num_scales - 1
+        (h + 1) // 2, (w + 1) // 2, bsz,
+        num_scales=num_scales - 1, kernel_kwargs=kernel_kwargs,
     )
 
 
 def ds_buffer_shapes(
-    h: int, w: int, bsz: int, *, num_scales: int
+    h: int, w: int, bsz: int, *, num_scales: int, kernel_kwargs=None
 ) -> list[tuple[int, ...]]:
     """Shapes of the emit_ds buffers ssimulacra2_subscores_from_padded
     threads when ``ds_bufs`` is passed (one per per-level kernel before the
@@ -329,14 +340,14 @@ def ds_buffer_shapes(
     s = 0
     prev_hw = None
     while s < num_scales:
-        if num_scales - s == 5 and USE_TAIL2 and prev_hw is not None:
-            from turbo_metrics_tpu.ops.pallas.scale_tail import tail2_ok
-
-            # Mirror ssimulacra2_subscores_from_padded: the full-pyramid
-            # tail consumes no emit buffers.  This level's input buffer is
-            # the parent level's emit target.
+        if prev_hw is not None:
+            # Mirror ssimulacra2_subscores_from_padded exactly: the
+            # full-pyramid tail consumes no emit buffers.  This level's
+            # input buffer is the parent level's emit target.
             probe = (2, bsz, 3) + ds_buffer_hw(*prev_hw)
-            if tail2_ok(h, w, probe):
+            if _tail2_engages(
+                num_scales - s, h, w, probe, kernel_kwargs
+            ):
                 break
         if num_scales - s >= 2 and tail_plane_bytes(h, w) <= TAIL_MAX_BYTES:
             break

@@ -169,7 +169,11 @@ def adm_stats(
     if backend is None:
         backend = default_backend()
     h, w = y_ref.shape[-2], y_ref.shape[-1]
-    if backend in ("pallas", "interpret") and min(h, w) >= 32:
+    if (
+        backend in ("pallas", "interpret")
+        and y_ref.ndim == 3
+        and min(h, w) >= 32
+    ):
         from turbo_metrics_tpu.ops.pallas.adm import adm_stats_pallas
 
         return adm_stats_pallas(

@@ -242,9 +242,9 @@ def xpsnr_block_stats_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, nth, ntw, 16, wb_t), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, cols), dt),
-            pltpu.VMEM((2, rows, cols), dt),
-            pltpu.VMEM((2, rows, cols), dt),
+            pltpu.VMEM((2, rows, cols), rp.dtype),
+            pltpu.VMEM((2, rows, cols), dp.dtype),
+            pltpu.VMEM((2, rows, cols), pp.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -79,7 +79,11 @@ def vif_scale_stats(
     if backend is None:
         backend = default_backend()
     h, w = ref.shape[-2], ref.shape[-1]
-    if backend in ("pallas", "interpret") and min(h, w) >= 32:
+    if (
+        backend in ("pallas", "interpret")
+        and ref.ndim == 3
+        and min(h, w) >= 32
+    ):
         from turbo_metrics_tpu.ops.pallas.vif import vif_scale_stats_pallas
 
         return vif_scale_stats_pallas(
