@@ -40,9 +40,11 @@ TAIL_MAX_BYTES = 8 * 1024 * 1024
 
 # Full-pyramid tail (ops/pallas/scale_tail.py): run ALL five remaining
 # levels after scale 0 in one tiled kernel (mxuC machinery, levels chained
-# in VMEM).  Opt-in until the on-chip A/B against the v4-chain composition
-# lands.
-USE_TAIL2 = False
+# in VMEM).  Opt-in (TM_USE_TAIL2=1) until the on-chip A/B against the
+# v4-chain composition lands.
+import os as _os
+
+USE_TAIL2 = _os.environ.get("TM_USE_TAIL2", "0") == "1"
 
 
 def _tail2_engages(
