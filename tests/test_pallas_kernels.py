@@ -509,3 +509,25 @@ def test_pallas_convert_full_chroma(rng, chroma):
         )
     )
     assert np.abs(got - want).max() < 3e-6
+
+
+def test_subtiled_mxuc_bit_identical(rng):
+    """subtiles=2 (the ILP sub-chain experiment) must be bit-identical to
+    the monolithic mxuC maps: the band windows contain the same nonzero
+    terms, zeros add exactly."""
+    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+        fused_scale_pallas_v4,
+        pad_to_layout4,
+    )
+
+    h, w = 160, 256
+    lin1 = rng.random((1, 3, h, w)).astype(np.float32)
+    lin2 = np.clip(
+        lin1 + rng.normal(0, 0.03, lin1.shape).astype(np.float32), 0, 1
+    )
+    p12 = pad_to_layout4(jnp.stack([jnp.asarray(lin1), jnp.asarray(lin2)]), h, w)
+    s1, _ = fused_scale_pallas_v4(p12, h, w, emit_ds=False, interpret=True)
+    s2, _ = fused_scale_pallas_v4(
+        p12, h, w, emit_ds=False, subtiles=2, interpret=True
+    )
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))

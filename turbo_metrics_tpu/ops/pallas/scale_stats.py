@@ -1366,6 +1366,59 @@ def _maps_and_sums_consistent(
         return all_accs
 
 
+
+
+def _maps_consistent_subtiled(
+    out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
+    rows, cols, kappa, row0, col0, h, w, *, subtiles=1, fastdiv="div",
+    map_chunk=0, mxu_sums=False, w_layout="t",
+):
+    """mxuC maps, optionally split into ``subtiles`` independent row
+    sub-chains (ILP experiment, docs/PERFORMANCE.md round-3 roadmap #2):
+    each sub-chain is a complete split->H->W->maps dataflow over
+    tile_h/subtiles rows, so Mosaic may overlap one sub-chain's MXU
+    passes with another's VPU maps.  The xyb planes are computed ONCE on
+    the full window and sliced per sub-chain; blurred values are
+    bit-identical (the band windows contain the same nonzero terms), only
+    the final sum order differs.  ``hmat2`` must be built for the SUB-tile
+    height when subtiles > 1."""
+    if subtiles <= 1:
+        return _maps_and_sums_consistent(
+            out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
+            rows, cols, kappa, row0, col0, h, w, fastdiv=fastdiv,
+            map_chunk=map_chunk, mxu_sums=mxu_sums, w_layout=w_layout,
+        )
+    th2 = tile_h // subtiles
+    xyb_full = {
+        (idx, c): xyb_channel(idx, c, masked=False)
+        for c in range(3)
+        for idx in (0, 1)
+    }
+    totals = [[jnp.float32(0.0)] * 6 for _ in range(3)]
+    for sub in range(subtiles):
+        off = sub * th2
+
+        def xyb_sub(idx, c, masked=True, _off=off):
+            return jax.lax.slice(
+                xyb_full[(idx, c)], (_off, 0), (_off + th2 + 16, cols)
+            )
+
+        sums = _maps_and_sums_consistent(
+            None, xyb_sub, hmat2, wt2, th2, tile_w,
+            th2 + 16, cols, kappa, row0 + off, col0, h, w,
+            fastdiv=fastdiv, map_chunk=map_chunk, mxu_sums=mxu_sums,
+            w_layout=w_layout, return_sums=True,
+        )
+        for c in range(3):
+            for k in range(6):
+                totals[c][k] = totals[c][k] + sums[c][k]
+    out_ref[...] = jnp.zeros_like(out_ref)
+    for c in range(3):
+        out_ref[0, 0, 0, c, :] = jnp.stack(
+            totals[c] + [jnp.float32(0.0), jnp.float32(0.0)]
+        )
+
+
 def _maps_and_sums_exact_mxu(
     out_ref, xyb_channel, hmatf, wtf, valid, tile_h, tile_w, rows, cols
 ):
@@ -1646,6 +1699,7 @@ def _fused_scale_kernel_v4(
     map_chunk: int = 0,
     mxu_sums: bool = False,
     w_layout: str = "t",
+    subtiles: int = 1,
 ):
     """One pyramid level: XYB + 4-blur + maps + sums, plus (emit_ds) the
     exact 2x2-mean downscale of the linear tile written straight into the
@@ -1882,10 +1936,10 @@ def _fused_scale_kernel_v4(
         ]
 
     if w_pass == "mxuC":
-        _maps_and_sums_consistent(
+        _maps_consistent_subtiled(
             out_ref, xyb_channel, hmat, wmat,
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
-            row0, col0, h, w, fastdiv=fastdiv,
+            row0, col0, h, w, subtiles=subtiles, fastdiv=fastdiv,
             map_chunk=map_chunk, mxu_sums=mxu_sums, w_layout=w_layout,
         )
     elif w_pass == "mxuX":
@@ -1938,6 +1992,7 @@ def _fused_scale0_yuv_kernel(
     map_chunk: int = 0,
     mxu_sums: bool = False,
     w_layout: str = "t",
+    subtiles: int = 1,
 ):
     """v5: scale 0 straight from padded u8 YUV planes — the conversion
     (range offsets, matrix, exact chunked one-hot chroma upsample, EOTF,
@@ -2176,10 +2231,10 @@ def _fused_scale0_yuv_kernel(
         return _blur_w(qh, tp, COL_HALO4 - r, tile_w)
 
     if w_pass == "mxuC":
-        _maps_and_sums_consistent(
+        _maps_consistent_subtiled(
             out_ref, xyb_channel, hmat, wmat,
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
-            row0, col0, h, w, fastdiv=fastdiv,
+            row0, col0, h, w, subtiles=subtiles, fastdiv=fastdiv,
             map_chunk=map_chunk, mxu_sums=mxu_sums, w_layout=w_layout,
         )
     else:
@@ -2210,6 +2265,7 @@ def fused_scale0_yuv_pallas(
     map_chunk: int = 0,
     mxu_sums: bool = False,
     w_layout: str = "t",
+    subtiles: int = 1,
     ds_buf: jax.Array | None = None,
     padded_planes: tuple[jax.Array, jax.Array, jax.Array] | None = None,
     interpret: bool = False,
@@ -2298,11 +2354,15 @@ def fused_scale0_yuv_pallas(
 
     inputs = [yp, up_, vp_]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
-    hmat = _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)
+    if w_pass != "mxuC" or tile_h % (16 * subtiles):
+        subtiles = 1  # sub-chains need 16-row-aligned mxuC sub-tiles
+    th_b = tile_h // subtiles
+    rows_b = th_b + 2 * ROW_HALO4
+    hmat = _band_matrix_h(th_b, rows_b, taps, ROW_HALO4 - RADIUS)
     if precision == "bf16x3" or w_pass == "mxuC":
         inputs.append(jnp.asarray(_split_bf16_np(hmat)))
         in_specs.append(
-            pl.BlockSpec((2, tile_h, rows), lambda p, th, tw: (0, 0, 0))
+            pl.BlockSpec((2, th_b, rows_b), lambda p, th, tw: (0, 0, 0))
         )
     else:
         inputs.append(jnp.asarray(hmat))
@@ -2379,6 +2439,7 @@ def fused_scale0_yuv_pallas(
         map_chunk=map_chunk,
         mxu_sums=mxu_sums,
         w_layout=w_layout,
+        subtiles=subtiles,
     )
     outs = pl.pallas_call(
         kernel,
@@ -2697,6 +2758,7 @@ def fused_scale_pallas_v4(
     w_layout: str = "t",
     ds_buf: jax.Array | None = None,
     interpret: bool = False,
+    subtiles: int = 1,
 ):
     """One padded-chain pyramid level.
 
@@ -2733,13 +2795,17 @@ def fused_scale_pallas_v4(
 
     if w_layout == "t256" and tile_w % 256:
         w_layout = "t"  # 256-chunks need a 256-multiple tile width
-    hmat = _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)
+    if w_pass != "mxuC" or tile_h % (16 * subtiles):
+        subtiles = 1  # sub-chains need 16-row-aligned mxuC sub-tiles
+    th_b = tile_h // subtiles
+    rows_b = th_b + 2 * ROW_HALO4
+    hmat = _band_matrix_h(th_b, rows_b, taps, ROW_HALO4 - RADIUS)
     inputs = [lin12_padded]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if precision == "bf16x3" or w_pass == "mxuC":
         inputs.append(jnp.asarray(_split_bf16_np(hmat)))
         in_specs.append(
-            pl.BlockSpec((2, tile_h, rows), lambda p, th, tw: (0, 0, 0))
+            pl.BlockSpec((2, th_b, rows_b), lambda p, th, tw: (0, 0, 0))
         )
     else:
         inputs.append(jnp.asarray(hmat))
@@ -2847,6 +2913,7 @@ def fused_scale_pallas_v4(
         map_chunk=map_chunk,
         mxu_sums=mxu_sums,
         w_layout=w_layout,
+        subtiles=subtiles,
     )
     outs = pl.pallas_call(
         kernel,
