@@ -531,3 +531,35 @@ def test_subtiled_mxuc_bit_identical(rng):
         p12, h, w, emit_ds=False, subtiles=2, interpret=True
     )
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_ds_buffer_bookkeeping_matches_runtime(rng):
+    """ds_buffer_shapes* must agree with what the runtime actually
+    consumes, for both tail2 settings and for kernel-variant kwargs
+    (review finding: the two paths previously decided independently)."""
+    import turbo_metrics_tpu.models.ssimulacra2 as s2m
+    from turbo_metrics_tpu.ops.pallas.scale_stats import pad_to_layout4
+
+    h, w = 208, 272
+    lin1 = rng.random((1, 3, h, w)).astype(np.float32)
+    lin2 = np.clip(
+        lin1 + rng.normal(0, 0.02, lin1.shape).astype(np.float32), 0, 1
+    )
+    p12 = pad_to_layout4(jnp.stack([jnp.asarray(lin1), jnp.asarray(lin2)]), h, w)
+    old_tail, old_t2 = s2m.TAIL_MAX_BYTES, s2m.USE_TAIL2
+    try:
+        s2m.TAIL_MAX_BYTES = 0  # force the per-level chain at this size
+        for use_t2 in (False, True):
+            for kw in ({}, {"subtiles": 2}):
+                s2m.USE_TAIL2 = use_t2
+                shapes = s2m.ds_buffer_shapes(
+                    h, w, 1, num_scales=6, kernel_kwargs=kw or None
+                )
+                bufs = [jnp.zeros(s, jnp.float32) for s in shapes]
+                out, ds_outs = s2m.ssimulacra2_subscores_from_padded(
+                    p12, h, w, num_scales=6, interpret=True,
+                    ds_bufs=bufs, **kw,
+                )
+                assert len(ds_outs) == len(bufs), (use_t2, kw)
+    finally:
+        s2m.TAIL_MAX_BYTES, s2m.USE_TAIL2 = old_tail, old_t2
