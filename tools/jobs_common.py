@@ -1,0 +1,102 @@
+"""Shared harness for /tmp/tpu_jobs measurement jobs (run inside
+tools/tpu_jobd.py's single warm TPU process).
+
+Provides 1080p YUV inputs staged in the padded plane layout and a timer for
+the full 6-scale from-YUV SSIMULACRA2 pipeline under arbitrary kernel
+kwargs / module flags, mirroring bench.py's donated ds-buffer threading so
+job numbers are directly comparable to the headline bench.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+H, W = 1080, 1920
+
+
+def make_yuv(batch: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = (128 + 64 * np.sin(xx / 37.0) * np.cos(yy / 23.0)).astype(np.uint8)
+    y_ref = np.stack([np.roll(base, 7 * i, axis=1) for i in range(batch)])
+    uv_ref = rng.integers(100, 156, (batch, H // 2, W // 2, 2), dtype=np.uint8)
+    y_dis = np.clip(
+        y_ref.astype(np.int16) + rng.integers(-6, 7, y_ref.shape), 0, 255
+    ).astype(np.uint8)
+    return y_ref, uv_ref, y_dis, uv_ref
+
+
+def stage_padded(batch: int, shift: int = 0, seed: int = 0):
+    import jax
+
+    from turbo_metrics_tpu.ops.pallas.scale_stats import pad_yuv_planes
+
+    y_ref, uv_ref, y_dis, uv_dis = make_yuv(batch, seed)
+    if shift:
+        y_ref = np.roll(y_ref, shift, axis=2)
+        y_dis = np.roll(y_dis, shift, axis=2)
+    planes = pad_yuv_planes(np.stack([y_ref, y_dis]), np.stack([uv_ref, uv_dis]), H, W)
+    out = tuple(jax.device_put(a) for a in planes)
+    jax.block_until_ready(out)
+    return out
+
+
+def time_from_yuv(batch=8, iters=24, reps=3, use_tail2=None, label="",
+                  **kernel_kwargs):
+    """ms/batch for the full pipeline (conversion-fused scale 0 + chain),
+    ds buffers donated+threaded like bench.py.  Returns (ms, subscores0)."""
+    import jax
+    import jax.numpy as jnp
+
+    import turbo_metrics_tpu.models.ssimulacra2 as m
+
+    old_tail2 = m.USE_TAIL2
+    if use_tail2 is not None:
+        m.USE_TAIL2 = bool(use_tail2)
+    try:
+        from turbo_metrics_tpu.ops.downscale import scale_dims
+
+        num_scales = len(scale_dims(H, W))
+
+        def step(planes, ds_bufs):
+            return m.ssimulacra2_subscores_from_yuv(
+                None, None, H, W, num_scales=num_scales, ds_bufs=ds_bufs,
+                padded_planes=planes, **kernel_kwargs,
+            )
+
+        fn = jax.jit(step, donate_argnums=(1,))
+        shapes = m.ds_buffer_shapes_yuv(
+            H, W, batch, num_scales=num_scales,
+            kernel_kwargs=kernel_kwargs or None,
+        )
+        ds = [jnp.zeros(s, jnp.float32) for s in shapes]
+        sets = [stage_padded(batch, shift) for shift in (0, 3)]
+        sub, ds = fn(sets[0], ds)
+        jax.block_until_ready(sub)
+        sub0 = np.asarray(sub, dtype=np.float64)
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = sub
+            for i in range(iters):
+                out, ds = fn(sets[i % 2], ds)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        ms = best * 1e3
+        fps = batch / best
+        print(f"{label or 'run'}: {ms:.2f} ms/b{batch} = {fps:.0f} fps "
+              f"({fps * H * W / 1e6:.0f} Mpx/s)", flush=True)
+        return ms, sub0
+    finally:
+        m.USE_TAIL2 = old_tail2
+
+
+def score_delta(sub_a: np.ndarray, sub_b: np.ndarray) -> float:
+    """Max |score| delta between two (B,3,S,2,3) sub-score arrays."""
+    from turbo_metrics_tpu.models.ssimulacra2_score import postprocess_score
+
+    sa = postprocess_score(sub_a)
+    sb = postprocess_score(sub_b)
+    return float(np.abs(sa - sb).max())

@@ -151,7 +151,12 @@ def _mask_filter(x: jax.Array) -> jax.Array:
 
 
 def default_backend() -> str:
-    return "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+    # Measured on TPU v5e (1080p b8, within-run A/B): XLA fuses the jnp DWT
+    # chain to 6.69 ms vs the Pallas kernels' 8.17 — the stride-2 DWT
+    # matmuls don't amortize the kernel's serial tile loop.  jnp is the
+    # default on every platform; the Pallas path stays available via
+    # backend='pallas'.
+    return "jnp"
 
 
 def adm_stats(

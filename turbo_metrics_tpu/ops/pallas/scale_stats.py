@@ -772,12 +772,12 @@ def fused_scale_pallas_v3(
     if w_pass == "mxu":
         inputs.append(jnp.asarray(_band_matrix_w(cols, tile_w, taps, _COL_HALO - r)))
         in_specs.append(
-            pl.BlockSpec((cols, tile_w), lambda p, th, tw: (0, 0))
+            pl.BlockSpec((cols, tile_w), lambda *_: (0, 0))
         )
     if h_pass == "mxu":
         inputs.append(jnp.asarray(_band_matrix_h(tile_h, rows, taps, _ROW_HALO - r)))
         in_specs.append(
-            pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0))
+            pl.BlockSpec((tile_h, rows), lambda *_: (0, 0))
         )
 
     nbuf = 2 if double_buffer else 1
@@ -1118,61 +1118,27 @@ def _split3(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     return h, m, l
 
 
-def _maps_and_sums_consistent(
-    out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
-    rows, cols, kappa, row0, col0, h, w, fastdiv="div",
-    map_chunk=0, mxu_sums=False, w_layout="t", return_sums=False,
+def _blur_pack_mxuC(
+    xyb_channel, hmat2, wt2, tile_h, tile_w,
+    rows, cols, kappa, row0, col0, h, w, w_layout="t", tick=None,
 ):
-    """Consistent-limb packed MXU blur ('mxuC'): HIGHEST-class accuracy at
-    bf16-pass cost.
+    """Front half of the mxuC engine (see _maps_and_sums_consistent for the
+    numeric design): consistent-limb splits + H band matmuls + W band
+    matmuls, returning the blurred pack in natural orientation
+    (12*tile_h, tile_w) and the interiors pack (6*tile_h, tile_w).
 
-    The manual bf16 3-pass blur drifts 0.01-0.03 at score level because the
-    SSIM covariances/variances are *differences* of blurred quantities: any
-    data-dependent rounding between the blur inputs breaks the cancellation
-    and eps ~ 2^-17 input rounding is amplified by fullscale/variance.  The
-    fix here is exact consistency, not higher precision everywhere:
+    ``tick()`` (if given) is invoked right after each MXU dot is emitted —
+    the pipelined kernels use it to interleave an *independent* VPU stream
+    (the previous tile's maps) between the dots at trace-program order, so
+    Mosaic's scheduler (whose reordering window is local — measured in
+    /tmp diagnostics: adjacent independent MXU/VPU work overlaps ~fully,
+    program-order-distant work not at all) can run the MXU passes under
+    the VPU maps."""
+    def _tick():
+        if tick is not None:
+            next(tick, None)
 
-      * each xyb quantity is replaced by its exact 2-limb bf16 value
-        ah = hi + lo, and ah is used EVERYWHERE (interiors, products);
-      * the H pass computes blur(ah) EXACTLY with 4 bf16 passes
-        (hi/lo x hmat hi/lo; every bf16 x bf16 product is exact in f32);
-      * the products ah^2 + bh^2, ah*bh (f32, 2^-24) enter H via their
-        exact 3-limb split — 5 passes, dropping only the 2^-25 limb2 x lo
-        term;
-      * the W pass must be exact-linear on the arbitrary-f32 H output, so
-        it uses a 3-limb split x 2-limb band (5 passes) — and runs on the
-        TRANSPOSED pack, where chunk windows need only 8-alignment:
-        144 MACs/output instead of the lane-aligned 320.
-
-    Every blurred quantity is then (blur-with-2-limb-taps applied exactly)
-    + O(2^-24), so all cancellations hold to f32 accuracy; the 2^-17 tap
-    perturbation is a consistent filter change, which cancellations are
-    algebraically immune to (up to the filter-sum quadratic term, matched
-    by kappa).  The blurred pack is transposed BACK before the maps: in the
-    transposed orientation every per-quantity array is (tile_w, tile_h
-    = 64) — half-empty vregs — and the ~25-op map math at 50% lane
-    utilization measured 2 ms/b4, a third of the whole kernel.  One big
-    back-transpose restores full-lane (tile_h, tile_w) maps and lets the
-    interiors/mask come straight from the natural-orientation arrays.
-
-    With ``return_sums`` the per-channel sum lists are returned instead of
-    written to ``out_ref`` (for callers that accumulate across tiles, e.g.
-    the full-pyramid tail).
-
-    Validity masking is FOLDED INTO THE BAND MATRICES: zeroing an
-    out-of-image row of the xyb inputs equals zeroing the matching hmat
-    column, and zeroing an out-of-image column equals zeroing the matching
-    W-window column — 0/1 bf16 multiplies on the tiny (tile_h, rows) and
-    (WT_CHUNK, WT_WIN) operands are exact on the limbs, so the blur output
-    is BIT-IDENTICAL to masking the six full (rows, cols) xyb arrays while
-    skipping those 6 full-size VPU multiplies and the full-size validity
-    iota.  Only the small interior mask on the final maps remains.
-    """
-    if not return_sums:
-        out_ref[...] = jnp.zeros_like(out_ref)
     one = jnp.float32(1.0)
-    # Fold row validity (blur zero-extension at image borders) into the
-    # H band limbs: exact, since the mask is 0/1 and the limbs stay bf16.
     gr = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1) + (
         row0 - ROW_HALO4
     )
@@ -1182,9 +1148,11 @@ def _maps_and_sums_consistent(
     dims = (((1,), (0,)), ((), ()))
 
     def dot(a, b):
-        return jax.lax.dot_general(
+        out = jax.lax.dot_general(
             a, b, dims, preferred_element_type=jnp.float32
         )
+        _tick()
+        return out
 
     # Group A: 2-limb xyb quantities, consistent values ah (UNmasked —
     # validity is folded into the band matrices).
@@ -1284,38 +1252,29 @@ def _maps_and_sums_consistent(
         # (_tapsum_kappa); the back-transpose restores full-lane orientation.
         wt_nat = (jnp.concatenate(chunks, axis=0) * jnp.float32(kappa)).T
 
-    def bq(i):  # blurred quantity i, natural (tile_h, tile_w)
-        return jax.lax.slice(
-            wt_nat, (i * tile_h, 0), ((i + 1) * tile_h, tile_w)
-        )
-
     lo = (ROW_HALO4, COL_HALO4)
     hi_ = (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
-    # Interior mask, generated at (tile_h, tile_w) directly (interior
-    # globals are always >= 0, so only the upper bounds are tested).
+    interiors = [jax.lax.slice(a, lo, hi_) for a in ahs]
+    return wt_nat, interiors
+
+
+def _interior_mask(tile_h, tile_w, row0, col0, h, w):
+    """0/1 f32 mask of in-image positions for a tile's interior (interior
+    globals are always >= 0, so only the upper bounds are tested)."""
     mri = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + row0
     mci = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + col0
-    mask = ((mri < h) & (mci < w)).astype(jnp.float32)
+    return ((mri < h) & (mci < w)).astype(jnp.float32)
 
-    def iq(i):  # interior of the consistent value, natural orientation
-        return jax.lax.slice(ahs[i], lo, hi_)
 
-    # Sum engine: 'mxu_sums' rides the row reduction on the MXU (exact —
-    # 1.0 x f32 products at HIGHEST, f32 accumulator) leaving only a
-    # (1, width) lane reduction for the VPU; 'map_chunk' processes the maps
-    # in lane chunks to shrink the live vreg set (spill traffic).
-    ones_row = jnp.ones((1, tile_h), jnp.float32)
-
-    def _sum(m):
-        if not mxu_sums:
-            return jnp.sum(m)
-        r = jax.lax.dot_general(
-            ones_row, m, dims, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.sum(r)
-
-    cw = map_chunk or tile_w
+def _maps_sums_gen(
+    bq, iq, mask, tile_h, tile_w, fastdiv, cw, sum_fn, finish,
+):
+    """Generator over the mxuC maps stage: per (channel, column-chunk) unit
+    of VPU work, yielding once before each unit so a pipelined caller can
+    interleave the units between another tile's MXU dots.  ``bq(i)``/
+    ``iq(i)`` return blurred quantity / interior i as (tile_h, tile_w);
+    ``finish(all_accs)`` consumes the 3x6 sums."""
+    one = jnp.float32(1.0)
     all_accs = []
     for c in range(3):
         mu1f, mu2f = bq(2 * c), bq(2 * c + 1)
@@ -1323,6 +1282,7 @@ def _maps_and_sums_consistent(
         i1f, i2f = iq(2 * c), iq(2 * c + 1)
         accs = [jnp.float32(0.0)] * 6
         for j0 in range(0, tile_w, cw):
+            yield
             def sl(t, j0=j0):
                 return jax.lax.slice(t, (0, j0), (tile_h, j0 + cw))
 
@@ -1355,17 +1315,179 @@ def _maps_and_sums_consistent(
             for k, m in enumerate(
                 (d, d2 * d2, art, art2 * art2, det, det2 * det2)
             ):
-                accs[k] = accs[k] + _sum(m)
-        if return_sums:
-            all_accs.append(accs)
-        else:
-            out_ref[0, 0, 0, c, :] = jnp.stack(
-                accs + [jnp.float32(0.0), jnp.float32(0.0)]
-            )
+                accs[k] = accs[k] + sum_fn(m)
+        all_accs.append(accs)
+    finish(all_accs)
+
+
+def _maps_and_sums_consistent(
+    out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
+    rows, cols, kappa, row0, col0, h, w, fastdiv="div",
+    map_chunk=0, mxu_sums=False, w_layout="t", return_sums=False,
+):
+    """Consistent-limb packed MXU blur ('mxuC'): HIGHEST-class accuracy at
+    bf16-pass cost.
+
+    The manual bf16 3-pass blur drifts 0.01-0.03 at score level because the
+    SSIM covariances/variances are *differences* of blurred quantities: any
+    data-dependent rounding between the blur inputs breaks the cancellation
+    and eps ~ 2^-17 input rounding is amplified by fullscale/variance.  The
+    fix here is exact consistency, not higher precision everywhere:
+
+      * each xyb quantity is replaced by its exact 2-limb bf16 value
+        ah = hi + lo, and ah is used EVERYWHERE (interiors, products);
+      * the H pass computes blur(ah) EXACTLY with 4 bf16 passes
+        (hi/lo x hmat hi/lo; every bf16 x bf16 product is exact in f32);
+      * the products ah^2 + bh^2, ah*bh (f32, 2^-24) enter H via their
+        exact 3-limb split — 5 passes, dropping only the 2^-25 limb2 x lo
+        term;
+      * the W pass must be exact-linear on the arbitrary-f32 H output, so
+        it uses a 3-limb split x 2-limb band (5 passes) — and runs on the
+        TRANSPOSED pack, where chunk windows need only 8-alignment:
+        144 MACs/output instead of the lane-aligned 320.
+
+    Every blurred quantity is then (blur-with-2-limb-taps applied exactly)
+    + O(2^-24), so all cancellations hold to f32 accuracy; the 2^-17 tap
+    perturbation is a consistent filter change, which cancellations are
+    algebraically immune to (up to the filter-sum quadratic term, matched
+    by kappa).  The blurred pack is transposed BACK before the maps: in the
+    transposed orientation every per-quantity array is (tile_w, tile_h
+    = 64) — half-empty vregs — and the ~25-op map math at 50% lane
+    utilization measured 2 ms/b4, a third of the whole kernel.  One big
+    back-transpose restores full-lane (tile_h, tile_w) maps and lets the
+    interiors/mask come straight from the natural-orientation arrays.
+
+    With ``return_sums`` the per-channel sum lists are returned instead of
+    written to ``out_ref`` (for callers that accumulate across tiles, e.g.
+    the full-pyramid tail).
+
+    Validity masking is FOLDED INTO THE BAND MATRICES: zeroing an
+    out-of-image row of the xyb inputs equals zeroing the matching hmat
+    column, and zeroing an out-of-image column equals zeroing the matching
+    W-window column — 0/1 bf16 multiplies on the tiny (tile_h, rows) and
+    (WT_CHUNK, WT_WIN) operands are exact on the limbs, so the blur output
+    is BIT-IDENTICAL to masking the six full (rows, cols) xyb arrays while
+    skipping those 6 full-size VPU multiplies and the full-size validity
+    iota.  Only the small interior mask on the final maps remains.
+    """
+    if not return_sums:
+        out_ref[...] = jnp.zeros_like(out_ref)
+    wt_nat, interiors = _blur_pack_mxuC(
+        xyb_channel, hmat2, wt2, tile_h, tile_w, rows, cols,
+        kappa, row0, col0, h, w, w_layout=w_layout,
+    )
+
+    def bq(i):  # blurred quantity i, natural (tile_h, tile_w)
+        return jax.lax.slice(
+            wt_nat, (i * tile_h, 0), ((i + 1) * tile_h, tile_w)
+        )
+
+    def iq(i):  # interior of the consistent value, natural orientation
+        return interiors[i]
+
+    mask = _interior_mask(tile_h, tile_w, row0, col0, h, w)
+
+    # Sum engine: 'mxu_sums' rides the row reduction on the MXU (exact —
+    # 1.0 x f32 products at HIGHEST, f32 accumulator) leaving only a
+    # (1, width) lane reduction for the VPU; 'map_chunk' processes the maps
+    # in lane chunks to shrink the live vreg set (spill traffic).
+    ones_row = jnp.ones((1, tile_h), jnp.float32)
+    dims = (((1,), (0,)), ((), ()))
+
+    def _sum(m):
+        if not mxu_sums:
+            return jnp.sum(m)
+        r = jax.lax.dot_general(
+            ones_row, m, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(r)
+
+    result = []
+
+    def finish(all_accs):
+        for c in range(3):
+            if return_sums:
+                result.append(all_accs[c])
+            else:
+                out_ref[0, 0, 0, c, :] = jnp.stack(
+                    all_accs[c] + [jnp.float32(0.0), jnp.float32(0.0)]
+                )
+
+    cw = map_chunk or tile_w
+    for _ in _maps_sums_gen(
+        bq, iq, mask, tile_h, tile_w, fastdiv, cw, _sum, finish
+    ):
+        pass
     if return_sums:
-        return all_accs
+        return result
 
 
+
+
+def _pipelined_maps_mxuC(
+    out_ref, xyb_channel, hmat2, wt2, pack_scr, int_scr,
+    tile_h, tile_w, rows, cols, kappa, row0, col0, h, w,
+    s_id, nsteps, nth, ntw, fastdiv="div", map_chunk=128, w_layout="t",
+):
+    """Cross-tile software pipeline for the mxuC engine.
+
+    At grid step ``s_id`` this emits, interleaved at trace order:
+      * the CURRENT tile's splits + H + W band matmuls (MXU), whose blurred
+        pack and interiors are stored to VMEM scratch slot ``s_id % 2``;
+      * the PREVIOUS tile's maps + sums (pure VPU), read from scratch slot
+        ``(s_id-1) % 2`` and written to the previous tile's row of the
+        VMEM-resident sums output.
+
+    The interleaving (one maps chunk per MXU dot, via _blur_pack_mxuC's
+    ``tick``) puts independent MXU and VPU work adjacent in program order,
+    inside Mosaic's scheduling window — measured on-chip, adjacent
+    independent MXU/VPU work overlaps near-perfectly while program-order-
+    distant work does not, which is why the monolithic kernel ran at ~1/3
+    of its VPU issue bound (docs/PERFORMANCE.md round-3 analysis).
+
+    Boundary handling is by clamping, not predication (pl.when regions
+    would fence the scheduler): step 0 runs the maps on uninitialized
+    scratch and writes sums row 0, which step 1 overwrites with the real
+    tile-0 sums; the extra final step (grid is nsteps+1) re-runs tile
+    nsteps-1's front half redundantly while emitting its maps.  Sums are
+    bit-identical to the non-pipelined mxuC engine (same per-tile math and
+    order; only cross-tile emission order differs, and tiles are summed by
+    the caller in the same reduction).
+    """
+    prev = jnp.maximum(s_id - 1, 0)
+    prev_slot = jax.lax.rem(s_id + 1, 2)
+    cur_slot = jax.lax.rem(s_id, 2)
+    prem = jax.lax.rem(prev, nth * ntw)
+    prow0 = (prem // ntw) * tile_h
+    pcol0 = jax.lax.rem(prem, ntw) * tile_w
+    mask = _interior_mask(tile_h, tile_w, prow0, pcol0, h, w)
+
+    def bq(i):
+        return pack_scr[prev_slot, pl.ds(i * tile_h, tile_h), :]
+
+    def iq(i):
+        return int_scr[prev_slot, pl.ds(i * tile_h, tile_h), :]
+
+    def finish(all_accs):
+        rows8 = [
+            jnp.stack(all_accs[c] + [jnp.float32(0.0)] * 2) for c in range(3)
+        ]
+        blk = jnp.stack(rows8 + [jnp.zeros((8,), jnp.float32)] * 5)
+        out_ref[prev] = blk
+
+    cw = map_chunk or 128
+    gen = _maps_sums_gen(
+        bq, iq, mask, tile_h, tile_w, fastdiv, cw, jnp.sum, finish
+    )
+    wt_nat, interiors = _blur_pack_mxuC(
+        xyb_channel, hmat2, wt2, tile_h, tile_w, rows, cols,
+        kappa, row0, col0, h, w, w_layout=w_layout, tick=gen,
+    )
+    for _ in gen:  # maps chunks not consumed by ticks
+        pass
+    pack_scr[cur_slot] = wt_nat
+    int_scr[cur_slot] = jnp.concatenate(interiors, axis=0)
 
 
 def _maps_consistent_subtiled(
@@ -1700,6 +1822,7 @@ def _fused_scale_kernel_v4(
     mxu_sums: bool = False,
     w_layout: str = "t",
     subtiles: int = 1,
+    pipelined: bool = False,
 ):
     """One pyramid level: XYB + 4-blur + maps + sums, plus (emit_ds) the
     exact 2x2-mean downscale of the linear tile written straight into the
@@ -1726,18 +1849,28 @@ def _fused_scale_kernel_v4(
     sems = next(it)
     ds_store = next(it) if emit_ds else None  # (6, dh, dw) staging for ds DMA
     ds_sems = next(it) if emit_ds else None
+    pack_scr = next(it) if pipelined else None
+    int_scr = next(it) if pipelined else None
 
-    p = pl.program_id(0)
-    th = pl.program_id(1)
-    tw = pl.program_id(2)
+    nsteps = bsz * nth * ntw
+    if pipelined:
+        # Cross-tile software pipeline (see _pipelined_maps_mxuC): 1-D grid
+        # of nsteps+1 steps, boundary handling by index clamping.
+        s_id = pl.program_id(0)
+        step = jnp.minimum(s_id, nsteps - 1)
+        p = step // (nth * ntw)
+        rem_ = jax.lax.rem(step, nth * ntw)
+        th = rem_ // ntw
+        tw = jax.lax.rem(rem_, ntw)
+    else:
+        p = pl.program_id(0)
+        th = pl.program_id(1)
+        tw = pl.program_id(2)
+        s_id = step = (p * nth + th) * ntw + tw
     r = RADIUS
     rows = tile_h + 2 * ROW_HALO4
     cols = tile_w + 2 * COL_HALO4
     prec = _PRECISIONS.get(precision)
-
-    # Double-buffered input DMA across grid steps.
-    nsteps = bsz * nth * ntw
-    step = (p * nth + th) * ntw + tw
 
     def dma_pair(idx, slot):
         p_ = idx // (nth * ntw)
@@ -1756,17 +1889,20 @@ def _fused_scale_kernel_v4(
         )
         return d1, d2
 
-    slot = jax.lax.rem(step, 2)
+    slot = jax.lax.rem(s_id, 2)
 
-    @pl.when(step == 0)
+    @pl.when(s_id == 0)
     def _():
         d1, d2 = dma_pair(step, slot)
         d1.start()
         d2.start()
 
-    @pl.when(step + 1 < nsteps)
+    # Pipelined grids have one extra step that re-reads the last tile, so
+    # its prefetch (clamped) must still be issued at s_id == nsteps - 1.
+    @pl.when(s_id < (nsteps if pipelined else nsteps - 1))
     def _():
-        d1, d2 = dma_pair(step + 1, jax.lax.rem(step + 1, 2))
+        nxt = jnp.minimum(s_id + 1, nsteps - 1)
+        d1, d2 = dma_pair(nxt, jax.lax.rem(s_id + 1, 2))
         d1.start()
         d2.start()
 
@@ -1935,7 +2071,14 @@ def _fused_scale_kernel_v4(
             for i in range(len(qs))
         ]
 
-    if w_pass == "mxuC":
+    if w_pass == "mxuC" and pipelined:
+        _pipelined_maps_mxuC(
+            out_ref, xyb_channel, hmat, wmat, pack_scr, int_scr,
+            tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
+            row0, col0, h, w, s_id, nsteps, nth, ntw,
+            fastdiv=fastdiv, map_chunk=map_chunk, w_layout=w_layout,
+        )
+    elif w_pass == "mxuC":
         _maps_consistent_subtiled(
             out_ref, xyb_channel, hmat, wmat,
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
@@ -1993,6 +2136,7 @@ def _fused_scale0_yuv_kernel(
     mxu_sums: bool = False,
     w_layout: str = "t",
     subtiles: int = 1,
+    pipelined: bool = False,
 ):
     """v5: scale 0 straight from padded u8 YUV planes — the conversion
     (range offsets, matrix, exact chunked one-hot chroma upsample, EOTF,
@@ -2019,10 +2163,26 @@ def _fused_scale0_yuv_kernel(
     sems = next(it)  # (2 slots, 6)
     ds_store = next(it) if emit_ds else None
     ds_sems = next(it) if emit_ds else None
+    pack_scr = next(it) if pipelined else None
+    int_scr = next(it) if pipelined else None
 
-    p = pl.program_id(0)
-    th = pl.program_id(1)
-    tw = pl.program_id(2)
+    nsteps = bsz * nth * ntw
+    if pipelined:
+        # 1-D grid of nsteps+1 steps: step s runs tile min(s, nsteps-1)'s
+        # front half and tile s-1's maps (see _pipelined_maps_mxuC).  All
+        # boundary handling is index clamping — no pl.when around compute,
+        # which would fence the scheduler's MXU/VPU interleaving.
+        s_id = pl.program_id(0)
+        step = jnp.minimum(s_id, nsteps - 1)
+        p = step // (nth * ntw)
+        rem_ = jax.lax.rem(step, nth * ntw)
+        th = rem_ // ntw
+        tw = jax.lax.rem(rem_, ntw)
+    else:
+        p = pl.program_id(0)
+        th = pl.program_id(1)
+        tw = pl.program_id(2)
+        s_id = step = (p * nth + th) * ntw + tw
     r = RADIUS
     rows = tile_h + 2 * ROW_HALO4
     cols = tile_w + 2 * COL_HALO4
@@ -2034,9 +2194,6 @@ def _fused_scale0_yuv_kernel(
     # the image by construction — so the full-size validity mask and its 6
     # plane multiplies exist only for the fallback engines.
     needs_valid = w_pass != "mxuC"
-
-    nsteps = bsz * nth * ntw
-    step = (p * nth + th) * ntw + tw
 
     def dmas(idx, slot):
         p_ = idx // (nth * ntw)
@@ -2061,16 +2218,19 @@ def _fused_scale0_yuv_kernel(
             ))
         return out
 
-    slot = jax.lax.rem(step, 2)
+    slot = jax.lax.rem(s_id, 2)
 
-    @pl.when(step == 0)
+    @pl.when(s_id == 0)
     def _():
         for d in dmas(step, slot):
             d.start()
 
-    @pl.when(step + 1 < nsteps)
+    # Pipelined grids have one extra step that re-reads the last tile, so
+    # its prefetch (clamped) must still be issued at s_id == nsteps - 1.
+    @pl.when(s_id < (nsteps if pipelined else nsteps - 1))
     def _():
-        for d in dmas(step + 1, jax.lax.rem(step + 1, 2)):
+        nxt = jnp.minimum(s_id + 1, nsteps - 1)
+        for d in dmas(nxt, jax.lax.rem(s_id + 1, 2)):
             d.start()
 
     for d in dmas(step, slot):
@@ -2230,7 +2390,14 @@ def _fused_scale0_yuv_kernel(
             )
         return _blur_w(qh, tp, COL_HALO4 - r, tile_w)
 
-    if w_pass == "mxuC":
+    if w_pass == "mxuC" and pipelined:
+        _pipelined_maps_mxuC(
+            out_ref, xyb_channel, hmat, wmat, pack_scr, int_scr,
+            tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
+            row0, col0, h, w, s_id, nsteps, nth, ntw,
+            fastdiv=fastdiv, map_chunk=map_chunk, w_layout=w_layout,
+        )
+    elif w_pass == "mxuC":
         _maps_consistent_subtiled(
             out_ref, xyb_channel, hmat, wmat,
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
@@ -2266,6 +2433,7 @@ def fused_scale0_yuv_pallas(
     mxu_sums: bool = False,
     w_layout: str = "t",
     subtiles: int = 1,
+    pipelined: bool = False,
     ds_buf: jax.Array | None = None,
     padded_planes: tuple[jax.Array, jax.Array, jax.Array] | None = None,
     interpret: bool = False,
@@ -2354,39 +2522,56 @@ def fused_scale0_yuv_pallas(
 
     inputs = [yp, up_, vp_]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    if w_pass != "mxuC":
+        pipelined = False
+    if pipelined:
+        subtiles = 1  # the cross-tile pipeline supersedes sub-tile ILP
     if w_pass != "mxuC" or tile_h % (16 * subtiles):
         subtiles = 1  # sub-chains need 16-row-aligned mxuC sub-tiles
     th_b = tile_h // subtiles
     rows_b = th_b + 2 * ROW_HALO4
+    nsteps = bsz * nth * ntw
     hmat = _band_matrix_h(th_b, rows_b, taps, ROW_HALO4 - RADIUS)
     if precision == "bf16x3" or w_pass == "mxuC":
         inputs.append(jnp.asarray(_split_bf16_np(hmat)))
         in_specs.append(
-            pl.BlockSpec((2, th_b, rows_b), lambda p, th, tw: (0, 0, 0))
+            pl.BlockSpec((2, th_b, rows_b), lambda *_: (0, 0, 0))
         )
     else:
         inputs.append(jnp.asarray(hmat))
-        in_specs.append(pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)))
+        in_specs.append(pl.BlockSpec((tile_h, rows), lambda *_: (0, 0)))
     if w_pass == "mxuC":
         wm = _mxuc_w_band(taps, w_layout)
         inputs.append(jnp.asarray(wm))
         in_specs.append(
-            pl.BlockSpec(wm.shape, lambda p, th, tw: (0, 0, 0))
+            pl.BlockSpec(wm.shape, lambda *_: (0, 0, 0))
         )
     elif w_pass == "mxuX":
         inputs.append(jnp.asarray(_band_matrix_wt(taps)))
         in_specs.append(
-            pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0))
+            pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda *_: (0, 0))
         )
 
-    out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
-    out_specs = [
-        pl.BlockSpec(
-            (1, 1, 1, 8, 8),
-            lambda p, th, tw: (p, th, tw, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-    ]
+    if pipelined:
+        # Flattened sums: one (8, 8) row block per tile, resident in VMEM
+        # across the whole grid (constant index map) — step s writes tile
+        # s-1's rows (see _pipelined_maps_mxuC).
+        out_shapes = [jax.ShapeDtypeStruct((nsteps, 8, 8), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec(
+                (nsteps, 8, 8), lambda *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec(
+                (1, 1, 1, 8, 8),
+                lambda p, th, tw: (p, th, tw, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
     scratch = [
         pltpu.VMEM((2, 2, rows, cols), dt),
         pltpu.VMEM((2, 2, rows // 2, cols // 2), dt),
@@ -2412,6 +2597,11 @@ def fused_scale0_yuv_pallas(
         scratch += [
             pltpu.VMEM((6, dh_p, dw_p), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
+        ]
+    if pipelined:
+        scratch += [
+            pltpu.VMEM((2, 12 * tile_h, tile_w), jnp.float32),  # blur pack
+            pltpu.VMEM((2, 6 * tile_h, tile_w), jnp.float32),  # interiors
         ]
 
     kernel = functools.partial(
@@ -2440,10 +2630,11 @@ def fused_scale0_yuv_pallas(
         mxu_sums=mxu_sums,
         w_layout=w_layout,
         subtiles=subtiles,
+        pipelined=pipelined,
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(bsz, nth, ntw),
+        grid=(nsteps + 1,) if pipelined else (bsz, nth, ntw),
         in_specs=in_specs,
         out_specs=out_specs if emit_ds else out_specs[0],
         out_shape=out_shapes if emit_ds else out_shapes[0],
@@ -2458,7 +2649,12 @@ def fused_scale0_yuv_pallas(
         sums_raw, ds12 = outs
     else:
         sums_raw, ds12 = outs, None
-    sums = sums_raw[:, :, :, :3, :6].sum(axis=(1, 2))
+    if pipelined:
+        sums = (
+            sums_raw.reshape(bsz, nth * ntw, 8, 8)[:, :, :3, :6].sum(axis=1)
+        )
+    else:
+        sums = sums_raw[:, :, :, :3, :6].sum(axis=(1, 2))
     return sums, ds12
 
 
@@ -2759,6 +2955,7 @@ def fused_scale_pallas_v4(
     ds_buf: jax.Array | None = None,
     interpret: bool = False,
     subtiles: int = 1,
+    pipelined: bool = False,
 ):
     """One padded-chain pyramid level.
 
@@ -2795,31 +2992,36 @@ def fused_scale_pallas_v4(
 
     if w_layout == "t256" and tile_w % 256:
         w_layout = "t"  # 256-chunks need a 256-multiple tile width
+    if w_pass != "mxuC":
+        pipelined = False
+    if pipelined:
+        subtiles = 1  # the cross-tile pipeline supersedes sub-tile ILP
     if w_pass != "mxuC" or tile_h % (16 * subtiles):
         subtiles = 1  # sub-chains need 16-row-aligned mxuC sub-tiles
     th_b = tile_h // subtiles
     rows_b = th_b + 2 * ROW_HALO4
+    nsteps = bsz * nth * ntw
     hmat = _band_matrix_h(th_b, rows_b, taps, ROW_HALO4 - RADIUS)
     inputs = [lin12_padded]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if precision == "bf16x3" or w_pass == "mxuC":
         inputs.append(jnp.asarray(_split_bf16_np(hmat)))
         in_specs.append(
-            pl.BlockSpec((2, th_b, rows_b), lambda p, th, tw: (0, 0, 0))
+            pl.BlockSpec((2, th_b, rows_b), lambda *_: (0, 0, 0))
         )
     else:
         inputs.append(jnp.asarray(hmat))
-        in_specs.append(pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)))
+        in_specs.append(pl.BlockSpec((tile_h, rows), lambda *_: (0, 0)))
     if w_pass == "mxuC":
         wm = _mxuc_w_band(taps, w_layout)
         inputs.append(jnp.asarray(wm))
         in_specs.append(
-            pl.BlockSpec(wm.shape, lambda p, th, tw: (0, 0, 0))
+            pl.BlockSpec(wm.shape, lambda *_: (0, 0, 0))
         )
     elif w_pass == "mxuX":
         inputs.append(jnp.asarray(_band_matrix_wt(taps)))
         in_specs.append(
-            pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0))
+            pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda *_: (0, 0))
         )
     elif w_pass in ("mxu3", "mxuP"):
         wc = _band_matrix_wchunk(taps)
@@ -2829,13 +3031,13 @@ def fused_scale_pallas_v4(
             inputs.append(jnp.asarray(_split_bf16_np(wc)))
             in_specs.append(
                 pl.BlockSpec(
-                    (2, _W_WIN, _W_CHUNK), lambda p, th, tw: (0, 0, 0)
+                    (2, _W_WIN, _W_CHUNK), lambda *_: (0, 0, 0)
                 )
             )
         else:
             inputs.append(jnp.asarray(wc))
             in_specs.append(
-                pl.BlockSpec((_W_WIN, _W_CHUNK), lambda p, th, tw: (0, 0))
+                pl.BlockSpec((_W_WIN, _W_CHUNK), lambda *_: (0, 0))
             )
     elif w_pass == "mxuT":
         wt = _band_matrix_wt(taps)
@@ -2843,22 +3045,33 @@ def fused_scale_pallas_v4(
             inputs.append(jnp.asarray(_split_bf16_np(wt)))
             in_specs.append(
                 pl.BlockSpec(
-                    (2, _WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0, 0)
+                    (2, _WT_CHUNK, _WT_WIN), lambda *_: (0, 0, 0)
                 )
             )
         else:
             inputs.append(jnp.asarray(wt))
             in_specs.append(
-                pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0))
+                pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda *_: (0, 0))
             )
-    out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
-    out_specs = [
-        pl.BlockSpec(
-            (1, 1, 1, 8, 8),
-            lambda p, th, tw: (p, th, tw, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-    ]
+    if pipelined:
+        # Flattened sums, resident in VMEM across the whole grid (see
+        # fused_scale0_yuv_pallas / _pipelined_maps_mxuC).
+        out_shapes = [jax.ShapeDtypeStruct((nsteps, 8, 8), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec(
+                (nsteps, 8, 8), lambda *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec(
+                (1, 1, 1, 8, 8),
+                lambda p, th, tw: (p, th, tw, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
     scratch = [
         pltpu.VMEM((2, 3, rows, cols), jnp.float32),
         pltpu.VMEM((2, 3, rows, cols), jnp.float32),
@@ -2890,6 +3103,11 @@ def fused_scale_pallas_v4(
             pltpu.VMEM((6, dh_p, dw_p), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ]
+    if pipelined:
+        scratch += [
+            pltpu.VMEM((2, 12 * tile_h, tile_w), jnp.float32),  # blur pack
+            pltpu.VMEM((2, 6 * tile_h, tile_w), jnp.float32),  # interiors
+        ]
 
     kernel = functools.partial(
         _fused_scale_kernel_v4,
@@ -2914,10 +3132,11 @@ def fused_scale_pallas_v4(
         mxu_sums=mxu_sums,
         w_layout=w_layout,
         subtiles=subtiles,
+        pipelined=pipelined,
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(bsz, nth, ntw),
+        grid=(nsteps + 1,) if pipelined else (bsz, nth, ntw),
         in_specs=in_specs,
         out_specs=out_specs if emit_ds else out_specs[0],
         out_shape=out_shapes if emit_ds else out_shapes[0],
@@ -2932,5 +3151,10 @@ def fused_scale_pallas_v4(
         sums_raw, ds12 = outs
     else:
         sums_raw, ds12 = outs, None
-    sums = sums_raw[:, :, :, :3, :6].sum(axis=(1, 2))
+    if pipelined:
+        sums = (
+            sums_raw.reshape(bsz, nth * ntw, 8, 8)[:, :, :3, :6].sum(axis=1)
+        )
+    else:
+        sums = sums_raw[:, :, :, :3, :6].sum(axis=(1, 2))
     return sums, ds12

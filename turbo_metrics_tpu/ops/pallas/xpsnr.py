@@ -138,7 +138,7 @@ def _xpsnr_kernel(
     row0 = pl.multiple_of(th * tile_h, 16)
     col0 = pl.multiple_of(tw * tile_w, 128)
 
-    rw = tr[slot].astype(jnp.float32)  # (rows, cols)
+    rw = tr[slot].astype(jnp.int32).astype(jnp.float32)  # (rows, cols)
 
     def centre(x):
         return jax.lax.slice(
@@ -146,8 +146,8 @@ def _xpsnr_kernel(
         )
 
     rc = centre(rw)
-    dc = centre(td[slot].astype(jnp.float32))
-    pc = centre(tp[slot].astype(jnp.float32))
+    dc = centre(td[slot].astype(jnp.int32).astype(jnp.float32))
+    pc = centre(tp[slot].astype(jnp.int32).astype(jnp.float32))
 
     # Separable [1,2,1] x [1,2,1] blur of ref over the centre, halos valid.
     two = jnp.float32(2.0)

@@ -34,7 +34,11 @@ def _pad_mirror(x: jax.Array, axis: int) -> jax.Array:
 
 
 def _default_backend() -> str:
-    return "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+    # Measured on TPU v5e (1080p b8, within-run A/B): the jnp integer blur
+    # + SAD fuses to 1.86 ms vs the Pallas kernel's 3.22 — XLA's u32
+    # shift/add fusion beats the kernel's hi/lo byte-split matmuls.  jnp is
+    # the default on every platform; backend='pallas' keeps the kernel.
+    return "jnp"
 
 
 def integer_blur(
