@@ -40,11 +40,12 @@ TAIL_MAX_BYTES = 8 * 1024 * 1024
 
 # Full-pyramid tail (ops/pallas/scale_tail.py): run ALL five remaining
 # levels after scale 0 in one tiled kernel (mxuC machinery, levels chained
-# in VMEM).  Opt-in (TM_USE_TAIL2=1) until the on-chip A/B against the
-# v4-chain composition lands.
+# in VMEM).  Default ON per the on-chip A/B (1080p b8 within-run:
+# 14.27 -> 14.09 ms, b16 28.12 -> 27.61; score delta 0.0016 vs the
+# v4-chain composition, budget 0.05).  TM_USE_TAIL2=0 restores the chain.
 import os as _os
 
-USE_TAIL2 = _os.environ.get("TM_USE_TAIL2", "0") == "1"
+USE_TAIL2 = _os.environ.get("TM_USE_TAIL2", "1") == "1"
 
 
 def _tail2_engages(

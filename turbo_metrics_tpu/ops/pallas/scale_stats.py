@@ -1429,6 +1429,7 @@ def _pipelined_maps_mxuC(
     out_ref, xyb_channel, hmat2, wt2, pack_scr, int_scr,
     tile_h, tile_w, rows, cols, kappa, row0, col0, h, w,
     s_id, nsteps, nth, ntw, fastdiv="div", map_chunk=128, w_layout="t",
+    interleave=True,
 ):
     """Cross-tile software pipeline for the mxuC engine.
 
@@ -1482,7 +1483,8 @@ def _pipelined_maps_mxuC(
     )
     wt_nat, interiors = _blur_pack_mxuC(
         xyb_channel, hmat2, wt2, tile_h, tile_w, rows, cols,
-        kappa, row0, col0, h, w, w_layout=w_layout, tick=gen,
+        kappa, row0, col0, h, w, w_layout=w_layout,
+        tick=gen if interleave else None,
     )
     for _ in gen:  # maps chunks not consumed by ticks
         pass
@@ -1823,6 +1825,7 @@ def _fused_scale_kernel_v4(
     w_layout: str = "t",
     subtiles: int = 1,
     pipelined: bool = False,
+    interleave: bool = True,
 ):
     """One pyramid level: XYB + 4-blur + maps + sums, plus (emit_ds) the
     exact 2x2-mean downscale of the linear tile written straight into the
@@ -2077,6 +2080,7 @@ def _fused_scale_kernel_v4(
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
             row0, col0, h, w, s_id, nsteps, nth, ntw,
             fastdiv=fastdiv, map_chunk=map_chunk, w_layout=w_layout,
+            interleave=interleave,
         )
     elif w_pass == "mxuC":
         _maps_consistent_subtiled(
@@ -2137,6 +2141,7 @@ def _fused_scale0_yuv_kernel(
     w_layout: str = "t",
     subtiles: int = 1,
     pipelined: bool = False,
+    interleave: bool = True,
 ):
     """v5: scale 0 straight from padded u8 YUV planes — the conversion
     (range offsets, matrix, exact chunked one-hot chroma upsample, EOTF,
@@ -2396,6 +2401,7 @@ def _fused_scale0_yuv_kernel(
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
             row0, col0, h, w, s_id, nsteps, nth, ntw,
             fastdiv=fastdiv, map_chunk=map_chunk, w_layout=w_layout,
+            interleave=interleave,
         )
     elif w_pass == "mxuC":
         _maps_consistent_subtiled(
@@ -2434,6 +2440,7 @@ def fused_scale0_yuv_pallas(
     w_layout: str = "t",
     subtiles: int = 1,
     pipelined: bool = False,
+    interleave: bool = True,
     ds_buf: jax.Array | None = None,
     padded_planes: tuple[jax.Array, jax.Array, jax.Array] | None = None,
     interpret: bool = False,
@@ -2631,6 +2638,7 @@ def fused_scale0_yuv_pallas(
         w_layout=w_layout,
         subtiles=subtiles,
         pipelined=pipelined,
+        interleave=interleave,
     )
     outs = pl.pallas_call(
         kernel,
@@ -2956,6 +2964,7 @@ def fused_scale_pallas_v4(
     interpret: bool = False,
     subtiles: int = 1,
     pipelined: bool = False,
+    interleave: bool = True,
 ):
     """One padded-chain pyramid level.
 
@@ -3133,6 +3142,7 @@ def fused_scale_pallas_v4(
         w_layout=w_layout,
         subtiles=subtiles,
         pipelined=pipelined,
+        interleave=interleave,
     )
     outs = pl.pallas_call(
         kernel,
