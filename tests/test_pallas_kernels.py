@@ -563,3 +563,69 @@ def test_ds_buffer_bookkeeping_matches_runtime(rng):
                 assert len(ds_outs) == len(bufs), (use_t2, kw)
     finally:
         s2m.TAIL_MAX_BYTES, s2m.USE_TAIL2 = old_tail, old_t2
+
+
+def test_pipelined_mxuc_matches_monolithic(rng):
+    """The cross-tile software pipeline (pipelined=True, a measured
+    negative result kept for the record) must reproduce the monolithic
+    mxuC sums up to map-chunk summation reorder, on both kernels."""
+    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+        fused_scale0_yuv_pallas,
+        fused_scale_pallas_v4,
+        pad_to_layout4,
+    )
+
+    h, w = 120, 500
+    lin1 = rng.random((2, 3, h, w)).astype(np.float32)
+    lin2 = np.clip(
+        lin1 + rng.normal(0, 0.03, lin1.shape).astype(np.float32), 0, 1
+    )
+    p12 = pad_to_layout4(jnp.stack([jnp.asarray(lin1), jnp.asarray(lin2)]), h, w)
+    s1, d1 = fused_scale_pallas_v4(p12, h, w, emit_ds=True, interpret=True)
+    s2, d2 = fused_scale_pallas_v4(
+        p12, h, w, emit_ds=True, pipelined=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-5)
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+
+    y2 = rng.integers(16, 235, (2, 2, h, w)).astype(np.uint8)
+    uv2 = rng.integers(
+        16, 240, (2, 2, (h + 1) // 2, (w + 1) // 2, 2)
+    ).astype(np.uint8)
+    s3, _ = fused_scale0_yuv_pallas(
+        jnp.asarray(y2), jnp.asarray(uv2), h, w, interpret=True
+    )
+    s4, _ = fused_scale0_yuv_pallas(
+        jnp.asarray(y2), jnp.asarray(uv2), h, w, pipelined=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s4), rtol=2e-5)
+
+
+def test_single_wide_tile_geometry_1280(rng):
+    """1280-wide content tiles as a single 256-aligned column tile (so the
+    conversion-fused v5 path engages at 720p) and matches the jnp oracle
+    path through the full sub-score pipeline."""
+    from turbo_metrics_tpu.models.ssimulacra2 import ssimulacra2_subscores
+    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+        fused_yuv_ok,
+        pad_geom4,
+    )
+
+    tile_h, tile_w, nth, ntw, _, _ = pad_geom4(720, 1280)
+    assert (tile_w, ntw) == (1280, 1) and tile_w % 256 == 0
+    assert fused_yuv_ok(720, 1280)
+
+    h, w = 96, 1280  # full 1280-wide tiles, small height for CPU speed
+    lin1 = rng.random((1, 3, h, w)).astype(np.float32)
+    lin2 = np.clip(
+        lin1 + rng.normal(0, 0.03, lin1.shape).astype(np.float32), 0, 1
+    )
+    ref = ssimulacra2_subscores(
+        jnp.asarray(lin1), jnp.asarray(lin2), num_scales=3, backend="jnp"
+    )
+    got = ssimulacra2_subscores(
+        jnp.asarray(lin1), jnp.asarray(lin2), num_scales=3,
+        backend="interpret3",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

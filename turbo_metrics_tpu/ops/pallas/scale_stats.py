@@ -856,6 +856,13 @@ def pad_geom4(h: int, w: int) -> tuple[int, int, int, int, int, int]:
     wr = _round_up(w, 128)
     if wr <= TILE_W4:
         tile_w, ntw = wr, 1
+    elif wr <= 1280 and wr % 256 == 0:
+        # A single slightly-over-budget tile beats splitting when it is
+        # both cheaper in processed columns (1280: 1x1536 vs 2x896) and
+        # 256-aligned, which keeps the conversion-fused v5 scale-0 path
+        # available (its chroma tiles need 128-lane alignment at half
+        # width) — 1280x720 would otherwise fall back to producer + v4.
+        tile_w, ntw = wr, 1
     else:
         best = None
         for n in range(2, -(-w // 128) + 1):
