@@ -616,6 +616,38 @@ def test_single_wide_tile_geometry_1280(rng):
     assert (tile_w, ntw) == (1280, 1) and tile_w % 256 == 0
     assert fused_yuv_ok(720, 1280)
 
+    # The conversion-fused v5 kernel itself at the 1280 tile width (10
+    # chroma column chunks — a geometry no other test reaches) vs the
+    # producer + v4 path.
+    from turbo_metrics_tpu.ops import colorspace
+    from turbo_metrics_tpu.ops.pallas.scale_stats import (
+        fused_scale0_yuv_pallas,
+        fused_scale_pallas_v4,
+        norms_from_sums,
+        pad_to_layout4,
+    )
+
+    h, w, b = 48, 1280, 1
+    y2 = rng.integers(16, 235, (2, b, h, w)).astype(np.uint8)
+    uv2 = rng.integers(16, 240, (2, b, h // 2, w // 2, 2)).astype(np.uint8)
+    sums, _ = fused_scale0_yuv_pallas(
+        jnp.asarray(y2), jnp.asarray(uv2), h, w, emit_ds=False,
+        interpret=True,
+    )
+    lin = colorspace.yuv420_to_linear_rgb(
+        jnp.asarray(y2.reshape(2 * b, h, w)),
+        jnp.asarray(uv2.reshape(2 * b, h // 2, w // 2, 2)),
+        backend="jnp",
+    ).reshape(2, b, 3, h, w)
+    ref_sums, _ = fused_scale_pallas_v4(
+        pad_to_layout4(lin, h, w), h, w, emit_ds=False, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(norms_from_sums(sums, h * w)),
+        np.asarray(norms_from_sums(ref_sums, h * w)),
+        rtol=2e-5, atol=2e-6,
+    )
+
     h, w = 96, 1280  # full 1280-wide tiles, small height for CPU speed
     lin1 = rng.random((1, 3, h, w)).astype(np.float32)
     lin2 = np.clip(

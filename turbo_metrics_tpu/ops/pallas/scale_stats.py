@@ -850,8 +850,10 @@ def pad_geom4(h: int, w: int) -> tuple[int, int, int, int, int, int]:
 
     Column tiling picks the cheapest uniform 128-multiple tile no wider
     than TILE_W4, minimising total processed columns ntw*(tile_w + halos)
-    — e.g. 1280 tiles as 2x640 (zero dead columns) rather than 2x1024
-    (37% masked waste), 1920 stays 2x1024."""
+    — 1920 tiles as 2x1024 — except that a single 256-aligned tile up to
+    1280 wide wins outright when it fits (1280 -> 1x1280: fewer processed
+    columns than 2x640 AND the v5 fused-YUV path stays available; measured
+    7.42 vs 8.16 ms/b8 at 720p)."""
     tile_h = min(TILE_H4, _round_up(h, 8))
     wr = _round_up(w, 128)
     if wr <= TILE_W4:
@@ -1145,7 +1147,6 @@ def _blur_pack_mxuC(
         if tick is not None:
             next(tick, None)
 
-    one = jnp.float32(1.0)
     gr = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1) + (
         row0 - ROW_HALO4
     )
@@ -1436,7 +1437,7 @@ def _pipelined_maps_mxuC(
     out_ref, xyb_channel, hmat2, wt2, pack_scr, int_scr,
     tile_h, tile_w, rows, cols, kappa, row0, col0, h, w,
     s_id, nsteps, nth, ntw, fastdiv="div", map_chunk=128, w_layout="t",
-    interleave=True,
+    interleave=True, mxu_sums=False,
 ):
     """Cross-tile software pipeline for the mxuC engine.
 
@@ -1458,10 +1459,12 @@ def _pipelined_maps_mxuC(
     would fence the scheduler): step 0 runs the maps on uninitialized
     scratch and writes sums row 0, which step 1 overwrites with the real
     tile-0 sums; the extra final step (grid is nsteps+1) re-runs tile
-    nsteps-1's front half redundantly while emitting its maps.  Sums are
-    bit-identical to the non-pipelined mxuC engine (same per-tile math and
-    order; only cross-tile emission order differs, and tiles are summed by
-    the caller in the same reduction).
+    nsteps-1's front half redundantly while emitting its maps.  Per-tile
+    map math is identical to the non-pipelined mxuC engine, but the maps
+    are always column-chunked (cw = map_chunk or 128 — chunking is what
+    the interleaving needs), so with the monolithic default (map_chunk=0 =
+    whole-tile chunks) sums differ by f32 summation-reorder noise (~2e-7
+    rel), not bit-identically.
     """
     prev = jnp.maximum(s_id - 1, 0)
     prev_slot = jax.lax.rem(s_id + 1, 2)
@@ -1484,9 +1487,21 @@ def _pipelined_maps_mxuC(
         blk = jnp.stack(rows8 + [jnp.zeros((8,), jnp.float32)] * 5)
         out_ref[prev] = blk
 
+    ones_row = jnp.ones((1, tile_h), jnp.float32)
+
+    def _sum(v):
+        if not mxu_sums:
+            return jnp.sum(v)
+        r = jax.lax.dot_general(
+            ones_row, v, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(r)
+
     cw = map_chunk or 128
     gen = _maps_sums_gen(
-        bq, iq, mask, tile_h, tile_w, fastdiv, cw, jnp.sum, finish
+        bq, iq, mask, tile_h, tile_w, fastdiv, cw, _sum, finish
     )
     wt_nat, interiors = _blur_pack_mxuC(
         xyb_channel, hmat2, wt2, tile_h, tile_w, rows, cols,
@@ -2087,7 +2102,7 @@ def _fused_scale_kernel_v4(
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
             row0, col0, h, w, s_id, nsteps, nth, ntw,
             fastdiv=fastdiv, map_chunk=map_chunk, w_layout=w_layout,
-            interleave=interleave,
+            interleave=interleave, mxu_sums=mxu_sums,
         )
     elif w_pass == "mxuC":
         _maps_consistent_subtiled(
@@ -2408,7 +2423,7 @@ def _fused_scale0_yuv_kernel(
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
             row0, col0, h, w, s_id, nsteps, nth, ntw,
             fastdiv=fastdiv, map_chunk=map_chunk, w_layout=w_layout,
-            interleave=interleave,
+            interleave=interleave, mxu_sums=mxu_sums,
         )
     elif w_pass == "mxuC":
         _maps_consistent_subtiled(
