@@ -1328,6 +1328,14 @@ def _maps_sums_gen(
     finish(all_accs)
 
 
+# Dev-only stage-knockout knob for on-chip cost attribution (perf lab /
+# /tmp/tpu_jobs): 'maps' skips the maps+sums stage (zeros written), 'blur'
+# replaces the whole splits/H/W machinery with a fake pack built from the
+# xyb interiors (data-dependent, so nothing constant-folds).  Scores are
+# meaningless under any skip; never set outside timing experiments.
+DEBUG_SKIP: frozenset = frozenset()
+
+
 def _maps_and_sums_consistent(
     out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
     rows, cols, kappa, row0, col0, h, w, fastdiv="div",
@@ -1380,10 +1388,26 @@ def _maps_and_sums_consistent(
     """
     if not return_sums:
         out_ref[...] = jnp.zeros_like(out_ref)
-    wt_nat, interiors = _blur_pack_mxuC(
-        xyb_channel, hmat2, wt2, tile_h, tile_w, rows, cols,
-        kappa, row0, col0, h, w, w_layout=w_layout,
-    )
+    if "blur" in DEBUG_SKIP:
+        lo = (ROW_HALO4, COL_HALO4)
+        hi_ = (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+        interiors = [
+            jax.lax.slice(xyb_channel(idx, c, masked=False), lo, hi_)
+            for c in range(3) for idx in (0, 1)
+        ]
+        wt_nat = jnp.concatenate(interiors + interiors, axis=0)
+    else:
+        wt_nat, interiors = _blur_pack_mxuC(
+            xyb_channel, hmat2, wt2, tile_h, tile_w, rows, cols,
+            kappa, row0, col0, h, w, w_layout=w_layout,
+        )
+    if "maps" in DEBUG_SKIP:
+        # Data-dependent zeros so the blur work is not dead-code-eliminated.
+        z = jnp.sum(wt_nat[:1, :1]) * 0.0
+        if return_sums:
+            return [[z] * 6 for _ in range(3)]
+        out_ref[0, 0, 0, 0, 0] = z
+        return
 
     def bq(i):  # blurred quantity i, natural (tile_h, tile_w)
         return jax.lax.slice(
