@@ -104,6 +104,21 @@ _INV9_MAGIC = np.float32(1183280279.0)  # 0x46876c97, t ~ x^(-1/9)
 _INV5_MAGIC = np.float32(1277930634.0)  # 0x4c2bac8a, t ~ x^(-1/5)
 
 
+def _pow_pm1(t: jax.Array, m: int) -> jax.Array:
+    """t^m by square-and-multiply (3 mults for t^8 instead of 7 — the
+    EOTF's inverse-root Newton evaluates t^(n-1) every iteration, and the
+    naive product chain dominated its op count)."""
+    acc = None
+    sq = t
+    while m:
+        if m & 1:
+            acc = sq if acc is None else acc * sq
+        m >>= 1
+        if m:
+            sq = sq * sq
+    return acc
+
+
 def _pow_x2_xn2(x: jax.Array, n: int, magic: np.float32) -> jax.Array:
     """x^2 * (x^(1/n))^2 = x^(2 + 2/n) for x in (0, ~1], division-free."""
     x = jnp.maximum(x, np.float32(1e-6))
@@ -111,13 +126,10 @@ def _pow_x2_xn2(x: jax.Array, n: int, magic: np.float32) -> jax.Array:
     j = magic - i * np.float32(1.0 / n)
     t = jax.lax.bitcast_convert_type(j.astype(jnp.int32), jnp.float32)
     for _ in range(3):
-        tn = t
-        for _ in range(n - 1):
-            tn = tn * t
-        t = t * (np.float32(n + 1) - x * tn) * np.float32(1.0 / n)
-    tm = t
-    for _ in range(n - 2):
-        tm = tm * t  # t^(n-1)
+        t = t * (np.float32(n + 1) - x * _pow_pm1(t, n)) * np.float32(
+            1.0 / n
+        )
+    tm = _pow_pm1(t, n - 1)  # t^(n-1)
     eps = x * (tm * t) - np.float32(1.0)
     u = x * tm * (np.float32(1.0) - eps)  # x^(1/n)
     return (x * x) * (u * u)

@@ -1008,12 +1008,18 @@ def _band_matrix_wt(taps, chunk: int = _WT_CHUNK, win: int = _WT_WIN) -> np.ndar
 def _mxuc_w_band(taps, w_layout: str) -> np.ndarray:
     """(2, ...) bf16-limb W band matrix for the mxuC engine's W layout:
     't' = transposed 128-chunks (144 MACs/output), 't256' = transposed
-    256-chunks (half the matmul instructions, ~1.9x the MACs), 'r' =
-    natural-orientation right-multiply (no transposes, ~2.7x the MACs)."""
+    256-chunks (half the matmul instructions, ~1.9x the MACs), 't64'/'t32'
+    = smaller chunks with tighter windows (80/48-wide = 45/67% fewer MACs,
+    2/4x the matmul instructions), 'r' = natural-orientation
+    right-multiply (no transposes, ~2.7x the MACs)."""
     if w_layout == "r":
         return _split_bf16_np(_band_matrix_wchunk(taps))
     if w_layout == "t256":
         return _split_bf16_np(_band_matrix_wt(taps, 256, 272))
+    if w_layout == "t64":
+        return _split_bf16_np(_band_matrix_wt(taps, 64, 80))
+    if w_layout == "t32":
+        return _split_bf16_np(_band_matrix_wt(taps, 32, 48))
     return _split_bf16_np(_band_matrix_wt(taps))
 
 
@@ -1395,7 +1401,14 @@ def _maps_and_sums_consistent(
             jax.lax.slice(xyb_channel(idx, c, masked=False), lo, hi_)
             for c in range(3) for idx in (0, 1)
         ]
-        wt_nat = jnp.concatenate(interiors + interiors, axis=0)
+        # Distinct scale factors so no fake quantity aliases another SSA
+        # value — identical values let the compiler fold |i - mu| = 0 and
+        # delete half the maps, corrupting the attribution.
+        wt_nat = jnp.concatenate(
+            [q * np.float32(1.0 + 0.01 * k)
+             for k, q in enumerate(interiors + interiors)],
+            axis=0,
+        )
     else:
         wt_nat, interiors = _blur_pack_mxuC(
             xyb_channel, hmat2, wt2, tile_h, tile_w, rows, cols,
@@ -1406,7 +1419,7 @@ def _maps_and_sums_consistent(
         z = jnp.sum(wt_nat[:1, :1]) * 0.0
         if return_sums:
             return [[z] * 6 for _ in range(3)]
-        out_ref[0, 0, 0, 0, 0] = z
+        out_ref[0, 0, 0] = jnp.zeros((8, 8), jnp.float32) + z
         return
 
     def bq(i):  # blurred quantity i, natural (tile_h, tile_w)
