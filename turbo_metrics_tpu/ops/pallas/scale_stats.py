@@ -40,6 +40,7 @@ borders exactly; sums are masked to the valid (h, w) region.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1153,11 +1154,14 @@ def _blur_pack_mxuC(
         if tick is not None:
             next(tick, None)
 
-    gr = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1) + (
-        row0 - ROW_HALO4
-    )
-    rvm = ((gr >= 0) & (gr < h)).astype(jnp.bfloat16)
-    hm0, hm1 = hmat2[0] * rvm, hmat2[1] * rvm  # (tile_h, rows) bf16 limbs
+    if hmat2.shape[1] == tile_h:
+        # Fold row validity (blur zero-extension at image borders) into the
+        # fat H band limbs; the chunked-H branch folds per window instead.
+        gr = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1) + (
+            row0 - ROW_HALO4
+        )
+        rvm = ((gr >= 0) & (gr < h)).astype(jnp.bfloat16)
+        hm0, hm1 = hmat2[0] * rvm, hmat2[1] * rvm  # (tile_h, rows) limbs
     w0, w1 = wt2[0], wt2[1]  # (WT_CHUNK, WT_WIN) bf16 limbs
     dims = (((1,), (0,)), ((), ()))
 
@@ -1187,17 +1191,49 @@ def _blur_pack_mxuC(
             b1s.append(q1)
             b2s.append(q2)
 
-    # H pass: fat lane-packed matmuls (9 total for all 12 quantities).
+    # H pass: lane-packed matmuls over all 12 quantities.
     pa0 = jnp.concatenate(a0s, axis=1)  # (rows, 6*cols) bf16
     pa1 = jnp.concatenate(a1s, axis=1)
-    ha = dot(hm0, pa0) + dot(hm0, pa1) + dot(hm1, pa0) + dot(hm1, pa1)
     pb0 = jnp.concatenate(b0s, axis=1)
     pb1 = jnp.concatenate(b1s, axis=1)
     pb2 = jnp.concatenate(b2s, axis=1)
-    hb = (
-        dot(hm0, pb0) + dot(hm0, pb1) + dot(hm0, pb2)
-        + dot(hm1, pb0) + dot(hm1, pb1)
-    )
+    hch = hmat2.shape[1]
+    if hch < tile_h:
+        # Chunked H pass ('h16'/'h32'): the band is Toeplitz, so one tiny
+        # (hch, hch+16) matrix serves every output-row chunk with a tight
+        # window — same nonzero terms as the fat (tile_h, rows) band at a
+        # fraction of its MACs (fat: rows MACs/output; chunked: hch+16).
+        hwin = hmat2.shape[2]
+        ha_cs, hb_cs = [], []
+        for ci in range(tile_h // hch):
+            s = ci * hch
+            grc = jax.lax.broadcasted_iota(jnp.int32, (1, hwin), 1) + (
+                row0 - ROW_HALO4 + s
+            )
+            rvc = ((grc >= 0) & (grc < h)).astype(jnp.bfloat16)
+            hm0c, hm1c = hmat2[0] * rvc, hmat2[1] * rvc
+
+            def slr(t, s=s, hwin=hwin):
+                return jax.lax.slice(t, (s, 0), (s + hwin, t.shape[1]))
+
+            pa0c, pa1c = slr(pa0), slr(pa1)
+            ha_cs.append(
+                dot(hm0c, pa0c) + dot(hm0c, pa1c)
+                + dot(hm1c, pa0c) + dot(hm1c, pa1c)
+            )
+            pb0c, pb1c, pb2c = slr(pb0), slr(pb1), slr(pb2)
+            hb_cs.append(
+                dot(hm0c, pb0c) + dot(hm0c, pb1c) + dot(hm0c, pb2c)
+                + dot(hm1c, pb0c) + dot(hm1c, pb1c)
+            )
+        ha = jnp.concatenate(ha_cs, axis=0)
+        hb = jnp.concatenate(hb_cs, axis=0)
+    else:
+        ha = dot(hm0, pa0) + dot(hm0, pa1) + dot(hm1, pa0) + dot(hm1, pa1)
+        hb = (
+            dot(hm0, pb0) + dot(hm0, pb1) + dot(hm0, pb2)
+            + dot(hm1, pb0) + dot(hm1, pb1)
+        )
 
     # Repack quantity segments along sublanes.
     segs = [
@@ -1341,6 +1377,42 @@ def _maps_sums_gen(
 # meaningless under any skip; never set outside timing experiments.
 DEBUG_SKIP: frozenset = frozenset()
 
+# Column pair-sum engine for the in-kernel 2x2-mean downscale emission
+# (see _emit_ds_tiles): 'highest' = dense f32 selection matmul (6 MXU
+# passes); 'limb3c' = chunked bf16 0/1 matrix x exact 3-limb split
+# (~1/12 the MACs, f32-exact to 1-2 ulps).  Module-level knob (not a
+# kwarg) because every caller wants the same engine; overridable for
+# A/B jobs and the parity tests.
+DS_ENGINE: str = os.environ.get("TM_DS_ENGINE", "highest")
+
+# Sum engine for the maps reductions.  The 030 attribution job measured the
+# 18 per-tile full-array jnp.sum reductions at 3.31 ms of the 9.1 ms b8
+# step — 5.5x the maps math they reduce (0.6 ms): Mosaic lowers a full
+# (64, 1024) reduction with cross-lane work per vreg.  'vreg' accumulates
+# the (8, 128) vreg-grid elementwise (63 lane-aligned adds, no cross-lane
+# ops) and defers the single cross-lane reduce to one (8, 128) jnp.sum per
+# (tile, quantity) in finish().  Sums differ from 'full' only by f32
+# summation order (~1e-7 rel).
+SUM_ENGINE: str = os.environ.get("TM_SUM_ENGINE", "full")
+
+
+def _partial_sum(m: jax.Array):
+    """Engine-internal partial sum of a (tile_h, tile_w) map: an (8, 128)
+    vreg accumulator under 'vreg', a scalar otherwise (see SUM_ENGINE)."""
+    if (
+        SUM_ENGINE == "vreg"
+        and m.shape[0] % 8 == 0
+        and m.shape[1] % 128 == 0
+    ):
+        r = m.reshape(m.shape[0] // 8, 8, m.shape[1] // 128, 128)
+        return jnp.sum(r, axis=(0, 2))
+    return jnp.sum(m)
+
+
+def _fin_sum(a):
+    """Finalize an accumulator from _partial_sum to a scalar."""
+    return jnp.sum(a) if getattr(a, "ndim", 0) else a
+
 
 def _maps_and_sums_consistent(
     out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
@@ -1419,7 +1491,7 @@ def _maps_and_sums_consistent(
         z = jnp.sum(wt_nat[:1, :1]) * 0.0
         if return_sums:
             return [[z] * 6 for _ in range(3)]
-        out_ref[0, 0, 0] = jnp.zeros((8, 8), jnp.float32) + z
+        out_ref[...] = jnp.zeros_like(out_ref) + z
         return
 
     def bq(i):  # blurred quantity i, natural (tile_h, tile_w)
@@ -1440,8 +1512,12 @@ def _maps_and_sums_consistent(
     dims = (((1,), (0,)), ((), ()))
 
     def _sum(m):
+        if "sums" in DEBUG_SKIP:
+            # Attribution knockout: reduce one vreg instead of the full
+            # map (64x less reduced data; keeps the maps math alive).
+            return jnp.sum(jax.lax.slice(m, (0, 0), (8, 128)))
         if not mxu_sums:
-            return jnp.sum(m)
+            return _partial_sum(m)
         r = jax.lax.dot_general(
             ones_row, m, dims, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
@@ -1452,11 +1528,12 @@ def _maps_and_sums_consistent(
 
     def finish(all_accs):
         for c in range(3):
+            fins = [_fin_sum(a) for a in all_accs[c]]
             if return_sums:
-                result.append(all_accs[c])
+                result.append(fins)
             else:
                 out_ref[0, 0, 0, c, :] = jnp.stack(
-                    all_accs[c] + [jnp.float32(0.0), jnp.float32(0.0)]
+                    fins + [jnp.float32(0.0), jnp.float32(0.0)]
                 )
 
     cw = map_chunk or tile_w
@@ -1519,7 +1596,10 @@ def _pipelined_maps_mxuC(
 
     def finish(all_accs):
         rows8 = [
-            jnp.stack(all_accs[c] + [jnp.float32(0.0)] * 2) for c in range(3)
+            jnp.stack(
+                [_fin_sum(a) for a in all_accs[c]] + [jnp.float32(0.0)] * 2
+            )
+            for c in range(3)
         ]
         blk = jnp.stack(rows8 + [jnp.zeros((8,), jnp.float32)] * 5)
         out_ref[prev] = blk
@@ -1528,7 +1608,7 @@ def _pipelined_maps_mxuC(
 
     def _sum(v):
         if not mxu_sums:
-            return jnp.sum(v)
+            return _partial_sum(v)
         r = jax.lax.dot_general(
             ones_row, v, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
@@ -1806,14 +1886,35 @@ def _emit_ds_tiles(
 ):
     """Shared exact 2x2-mean downscale of the valid tile region into the
     next level's padded buffer.  ``get_plane(img, c)`` yields the linear
-    (tile_h, tile_w) interior; returns the started DMA copies to wait on."""
+    (tile_h, tile_w) interior; returns the started DMA copies to wait on.
+
+    Column pair-sum engines (``DS_ENGINE``): the selection matrix has two
+    nonzeros per output column, so the dense (tile_w, dw) HIGHEST matmul
+    (6 MXU passes) wastes ~1500x the needed MACs — it was invisible while
+    the kernel's MXU work hid behind the VPU blur, but after the t64/h16
+    band chunking it became the largest MXU block (~2 ms of the 9.1 ms b8
+    step).  'limb3c' slices the Toeplitz structure into (256, 128) chunks
+    and applies one bf16 0/1 chunk matrix to the exact 3-limb split of the
+    row sums: every product is exact (0/1 x bf16 limb), so the result is
+    f32-exact to 1-2 ulps like HIGHEST at ~1/12 the MACs."""
     dh, dw = tile_h // 2, tile_w // 2
     dh_p = _round_up(dh, 8)
     dw_p = _round_up(dw, 128)
-    s_cols = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=0) // 2
-        == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=1)
-    ).astype(jnp.float32)
+    use_limb3c = DS_ENGINE == "limb3c" and tile_w % 256 == 0 and dw_p == dw
+    if use_limb3c:
+        s_chunk = (
+            jax.lax.broadcasted_iota(jnp.int32, (256, 128), dimension=0) // 2
+            == jax.lax.broadcasted_iota(jnp.int32, (256, 128), dimension=1)
+        ).astype(jnp.bfloat16)
+    else:
+        s_cols = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (tile_w, dw_p), dimension=0
+            ) // 2
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (tile_w, dw_p), dimension=1
+            )
+        ).astype(jnp.float32)
     # Odd-dimension correction: with zero padding, the last valid output
     # row/col of an odd input dimension sums one real sample instead of a
     # replicated pair — scale it by 2 (2x2-mean edge replication).
@@ -1835,12 +1936,38 @@ def _emit_ds_tiles(
             rsum = q.reshape(dh, 2, tile_w).sum(axis=1)
             if dh_p != dh:
                 rsum = jnp.pad(rsum, ((0, dh_p - dh), (0, 0)))
-            quad = jax.lax.dot_general(
-                rsum, s_cols,
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
+            if use_limb3c:
+                r0, r1, r2 = _split3(rsum)
+                dims = (((1,), (0,)), ((), ()))
+                parts = []
+                for j in range(dw // 128):
+                    def slc(t, j=j):
+                        return jax.lax.slice(
+                            t, (0, 256 * j), (dh_p, 256 * j + 256)
+                        )
+
+                    parts.append(
+                        jax.lax.dot_general(
+                            slc(r0), s_chunk, dims,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot_general(
+                            slc(r1), s_chunk, dims,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot_general(
+                            slc(r2), s_chunk, dims,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                quad = jnp.concatenate(parts, axis=1)
+            else:
+                quad = jax.lax.dot_general(
+                    rsum, s_cols,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
             ds_tile = quad * np.float32(0.25)
             if h_odd or w_odd:
                 ds_tile = ds_tile * rfac * cfac
@@ -2496,7 +2623,8 @@ def fused_scale0_yuv_pallas(
     fastdiv: str = "div",
     map_chunk: int = 0,
     mxu_sums: bool = False,
-    w_layout: str = "t",
+    w_layout: str = "t64",
+    h_layout: str = "h16",
     subtiles: int = 1,
     pipelined: bool = False,
     interleave: bool = True,
@@ -2597,6 +2725,15 @@ def fused_scale0_yuv_pallas(
     th_b = tile_h // subtiles
     rows_b = th_b + 2 * ROW_HALO4
     nsteps = bsz * nth * ntw
+    hch = {"h16": 16, "h32": 32}.get(h_layout, 0)
+    if (
+        w_pass == "mxuC" and hch and subtiles == 1
+        and tile_h % hch == 0 and tile_h > hch
+    ):
+        # Chunked-H band: one tiny Toeplitz window matrix serves every
+        # output-row chunk (see _blur_pack_mxuC) at a fraction of the fat
+        # band's MACs.
+        th_b, rows_b = hch, hch + 2 * ROW_HALO4
     hmat = _band_matrix_h(th_b, rows_b, taps, ROW_HALO4 - RADIUS)
     if precision == "bf16x3" or w_pass == "mxuC":
         inputs.append(jnp.asarray(_split_bf16_np(hmat)))
@@ -3018,7 +3155,8 @@ def fused_scale_pallas_v4(
     fastdiv: str = "div",
     map_chunk: int = 0,
     mxu_sums: bool = False,
-    w_layout: str = "t",
+    w_layout: str = "t64",
+    h_layout: str = "h16",
     ds_buf: jax.Array | None = None,
     interpret: bool = False,
     subtiles: int = 1,
@@ -3069,6 +3207,15 @@ def fused_scale_pallas_v4(
     th_b = tile_h // subtiles
     rows_b = th_b + 2 * ROW_HALO4
     nsteps = bsz * nth * ntw
+    hch = {"h16": 16, "h32": 32}.get(h_layout, 0)
+    if (
+        w_pass == "mxuC" and hch and subtiles == 1
+        and tile_h % hch == 0 and tile_h > hch
+    ):
+        # Chunked-H band: one tiny Toeplitz window matrix serves every
+        # output-row chunk (see _blur_pack_mxuC) at a fraction of the fat
+        # band's MACs.
+        th_b, rows_b = hch, hch + 2 * ROW_HALO4
     hmat = _band_matrix_h(th_b, rows_b, taps, ROW_HALO4 - RADIUS)
     inputs = [lin12_padded]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]

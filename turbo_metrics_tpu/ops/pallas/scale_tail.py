@@ -245,10 +245,14 @@ def fused_pyramid_tail_pallas(
     cols1 = COL_HALO4 + dims[0][2] + COL_HALO4
 
     taps = tuple(float(v) for v in gaussian_taps())
+    # Chunked bands (h16/t64): tight Toeplitz windows, same nonzero terms,
+    # a fraction of the fat bands' MACs — the round-3 sweep that took the
+    # scale-0 kernel from 10.5 to 9.1 ms/b8 (docs/PERFORMANCE.md); level
+    # widths are 256-aligned (tail2_ok) so the 64-chunk W loop divides.
     hmat2 = _split_bf16_np(
-        _band_matrix_h(_TH, _TH + 16, taps, ROW_HALO4 - RADIUS)
+        _band_matrix_h(16, 32, taps, ROW_HALO4 - RADIUS)
     )
-    wt2 = _mxuc_w_band(taps, "t")
+    wt2 = _mxuc_w_band(taps, "t64")
     kappa = _tapsum_kappa(taps)
 
     scratch = [
