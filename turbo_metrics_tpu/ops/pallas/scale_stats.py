@@ -1379,11 +1379,15 @@ DEBUG_SKIP: frozenset = frozenset()
 
 # Column pair-sum engine for the in-kernel 2x2-mean downscale emission
 # (see _emit_ds_tiles): 'highest' = dense f32 selection matmul (6 MXU
-# passes); 'limb3c' = chunked bf16 0/1 matrix x exact 3-limb split
-# (~1/12 the MACs, f32-exact to 1-2 ulps).  Module-level knob (not a
-# kwarg) because every caller wants the same engine; overridable for
-# A/B jobs and the parity tests.
-DS_ENGINE: str = os.environ.get("TM_DS_ENGINE", "highest")
+# passes); 'limb3p' = dense bf16 0/1 matrix x exact 3-limb split (3
+# single-pass matmuls, half the MACs); 'limb3cp' = 'limb3p' with the
+# Toeplitz structure sliced into (256, 128) windows (1/8 the MACs).
+# All engines operate on the six planes packed into one tall operand.
+# Module-level knob (not a kwarg) because every caller wants the same
+# engine; overridable for A/B jobs and the parity tests.  Default
+# 'limb3cp' measured 8.35 vs 9.05 ms/b8 packed-HIGHEST on chip (job 032)
+# at 1.2e-7 ds parity.
+DS_ENGINE: str = os.environ.get("TM_DS_ENGINE", "limb3cp")
 
 # Sum engine for the maps reductions.  The 030 attribution job measured the
 # 18 per-tile full-array jnp.sum reductions at 3.31 ms of the 9.1 ms b8
@@ -1392,20 +1396,37 @@ DS_ENGINE: str = os.environ.get("TM_DS_ENGINE", "highest")
 # the (8, 128) vreg-grid elementwise (63 lane-aligned adds, no cross-lane
 # ops) and defers the single cross-lane reduce to one (8, 128) jnp.sum per
 # (tile, quantity) in finish().  Sums differ from 'full' only by f32
-# summation order (~1e-7 rel).
+# summation order (~1e-7 rel).  Measured neutral on chip (9.09 vs 9.14
+# ms/b8, job 032): the 030 'sums 3.31 ms' attribution was an artifact —
+# the single-vreg knockout let Mosaic dead-code-eliminate 63/64 of the
+# maps MATH feeding each sum, so the cost it measured was the maps
+# elementwise work, not the reductions.  Kept opt-in.
 SUM_ENGINE: str = os.environ.get("TM_SUM_ENGINE", "full")
 
 
 def _partial_sum(m: jax.Array):
     """Engine-internal partial sum of a (tile_h, tile_w) map: an (8, 128)
-    vreg accumulator under 'vreg', a scalar otherwise (see SUM_ENGINE)."""
+    vreg accumulator under 'vreg', a scalar otherwise (see SUM_ENGINE).
+
+    The vreg tree is built from layout-aligned lax.slice adds (no
+    relayouts, no cross-lane ops) — a reshape-based multi-axis reduce
+    fails Mosaic lowering ("Invalid relayout ... replicated in
+    destination"), and per-vreg cross-lane reduction is exactly the cost
+    this engine removes."""
     if (
         SUM_ENGINE == "vreg"
         and m.shape[0] % 8 == 0
         and m.shape[1] % 128 == 0
     ):
-        r = m.reshape(m.shape[0] // 8, 8, m.shape[1] // 128, 128)
-        return jnp.sum(r, axis=(0, 2))
+        acc = None
+        for i in range(m.shape[0] // 8):
+            row = jax.lax.slice(m, (8 * i, 0), (8 * i + 8, m.shape[1]))
+            acc = row if acc is None else acc + row
+        out = None
+        for j in range(m.shape[1] // 128):
+            v = jax.lax.slice(acc, (0, 128 * j), (8, 128 * j + 128))
+            out = v if out is None else out + v
+        return out
     return jnp.sum(m)
 
 
@@ -1880,6 +1901,53 @@ def _maps_and_sums_centered(
         )
 
 
+def _pair_sum_cols(packed, tile_w, dw, dw_p):
+    """Apply the DS_ENGINE column pair-sum to a tall packed operand
+    (N, tile_w) -> (N, dw_p): out[:, j] = packed[:, 2j] + packed[:, 2j+1]
+    for j < dw, zeros beyond.  See _emit_ds_tiles for the engine notes."""
+    n = packed.shape[0]
+    dims = (((1,), (0,)), ((), ()))
+
+    def bdot(a, b):
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32
+        )
+
+    engine = DS_ENGINE
+    if engine == "limb3cp" and not (tile_w % 256 == 0 and dw_p == dw):
+        engine = "limb3p"
+    if engine == "limb3cp":
+        s_chunk = (
+            jax.lax.broadcasted_iota(jnp.int32, (256, 128), dimension=0) // 2
+            == jax.lax.broadcasted_iota(jnp.int32, (256, 128), dimension=1)
+        ).astype(jnp.bfloat16)
+        r0, r1, r2 = _split3(packed)
+        parts = []
+        for j in range(dw // 128):
+            def slc(t, j=j):
+                return jax.lax.slice(t, (0, 256 * j), (n, 256 * j + 256))
+
+            parts.append(
+                bdot(slc(r0), s_chunk)
+                + bdot(slc(r1), s_chunk)
+                + bdot(slc(r2), s_chunk)
+            )
+        return jnp.concatenate(parts, axis=1)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=0) // 2
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=1)
+    )
+    if engine == "limb3p":
+        s_cols = sel.astype(jnp.bfloat16)
+        r0, r1, r2 = _split3(packed)
+        return bdot(r0, s_cols) + bdot(r1, s_cols) + bdot(r2, s_cols)
+    return jax.lax.dot_general(
+        packed, sel.astype(jnp.float32), dims,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _emit_ds_tiles(
     ds_ref, ds_store, ds_sems, get_plane, *,
     p, row0, col0, tile_h, tile_w, h, w, h_odd, w_odd,
@@ -1889,32 +1957,22 @@ def _emit_ds_tiles(
     (tile_h, tile_w) interior; returns the started DMA copies to wait on.
 
     Column pair-sum engines (``DS_ENGINE``): the selection matrix has two
-    nonzeros per output column, so the dense (tile_w, dw) HIGHEST matmul
-    (6 MXU passes) wastes ~1500x the needed MACs — it was invisible while
-    the kernel's MXU work hid behind the VPU blur, but after the t64/h16
-    band chunking it became the largest MXU block (~2 ms of the 9.1 ms b8
-    step).  'limb3c' slices the Toeplitz structure into (256, 128) chunks
-    and applies one bf16 0/1 chunk matrix to the exact 3-limb split of the
-    row sums: every product is exact (0/1 x bf16 limb), so the result is
-    f32-exact to 1-2 ulps like HIGHEST at ~1/12 the MACs."""
+    nonzeros per output column, so a dense per-plane HIGHEST matmul
+    (6 MXU passes at M=32) wastes ~1500x the needed MACs — invisible
+    while the kernel's MXU work hid behind the VPU blur, but the largest
+    MXU block (~2 ms of the 9.1 ms b8 step) after the t64/h16 band
+    chunking.  All engines pack the six planes' row sums into one tall
+    (6*dh_p, tile_w) operand first (few big matmuls beat many M=32 ones —
+    the unpacked chunked variant measured SLOWER than dense, 9.64 vs
+    9.04 ms/b8, job 031).  'limb3p' applies the dense bf16 0/1 selection
+    to the exact 3-limb split of the pack (3 single-pass matmuls, half of
+    HIGHEST's MACs); 'limb3cp' additionally slices the Toeplitz structure
+    into (256, 128) windows (1/8 the MACs, 3*dw/128 matmuls).  Every
+    product is exact (0/1 x bf16 limb), so both match HIGHEST to 1-2
+    ulps."""
     dh, dw = tile_h // 2, tile_w // 2
     dh_p = _round_up(dh, 8)
     dw_p = _round_up(dw, 128)
-    use_limb3c = DS_ENGINE == "limb3c" and tile_w % 256 == 0 and dw_p == dw
-    if use_limb3c:
-        s_chunk = (
-            jax.lax.broadcasted_iota(jnp.int32, (256, 128), dimension=0) // 2
-            == jax.lax.broadcasted_iota(jnp.int32, (256, 128), dimension=1)
-        ).astype(jnp.bfloat16)
-    else:
-        s_cols = (
-            jax.lax.broadcasted_iota(
-                jnp.int32, (tile_w, dw_p), dimension=0
-            ) // 2
-            == jax.lax.broadcasted_iota(
-                jnp.int32, (tile_w, dw_p), dimension=1
-            )
-        ).astype(jnp.float32)
     # Odd-dimension correction: with zero padding, the last valid output
     # row/col of an odd input dimension sums one real sample instead of a
     # replicated pair — scale it by 2 (2x2-mean edge replication).
@@ -1929,49 +1987,27 @@ def _emit_ds_tiles(
         cid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 1) + col0 // 2
         cfac = jnp.where(cid == w2 - 1, jnp.float32(2.0), jnp.float32(1.0))
 
-    copies = []
+    rsums = []
     for img_idx in (0, 1):
         for c in range(3):
             q = get_plane(img_idx, c)
             rsum = q.reshape(dh, 2, tile_w).sum(axis=1)
             if dh_p != dh:
                 rsum = jnp.pad(rsum, ((0, dh_p - dh), (0, 0)))
-            if use_limb3c:
-                r0, r1, r2 = _split3(rsum)
-                dims = (((1,), (0,)), ((), ()))
-                parts = []
-                for j in range(dw // 128):
-                    def slc(t, j=j):
-                        return jax.lax.slice(
-                            t, (0, 256 * j), (dh_p, 256 * j + 256)
-                        )
+            rsums.append(rsum)
+    packed = jnp.concatenate(rsums, axis=0)  # (6*dh_p, tile_w)
+    quad_all = _pair_sum_cols(packed, tile_w, dw, dw_p)
 
-                    parts.append(
-                        jax.lax.dot_general(
-                            slc(r0), s_chunk, dims,
-                            preferred_element_type=jnp.float32,
-                        )
-                        + jax.lax.dot_general(
-                            slc(r1), s_chunk, dims,
-                            preferred_element_type=jnp.float32,
-                        )
-                        + jax.lax.dot_general(
-                            slc(r2), s_chunk, dims,
-                            preferred_element_type=jnp.float32,
-                        )
-                    )
-                quad = jnp.concatenate(parts, axis=1)
-            else:
-                quad = jax.lax.dot_general(
-                    rsum, s_cols,
-                    (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
+    copies = []
+    for img_idx in (0, 1):
+        for c in range(3):
+            slot_ = img_idx * 3 + c
+            quad = jax.lax.slice(
+                quad_all, (slot_ * dh_p, 0), (slot_ * dh_p + dh_p, dw_p)
+            )
             ds_tile = quad * np.float32(0.25)
             if h_odd or w_odd:
                 ds_tile = ds_tile * rfac * cfac
-            slot_ = img_idx * 3 + c
             ds_store[slot_] = ds_tile
             dst_r = pl.multiple_of(ROW_HALO4 + row0 // 2, 8)
             dst_c = pl.multiple_of(COL_HALO4 + col0 // 2, 128)

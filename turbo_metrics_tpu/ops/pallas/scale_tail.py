@@ -37,6 +37,7 @@ from turbo_metrics_tpu.ops.pallas.scale_stats import (
     _cbrt_fast,
     _maps_and_sums_consistent,
     _mxuc_w_band,
+    _pair_sum_cols,
     _round_up,
     _split_bf16_np,
     _tapsum_kappa,
@@ -139,10 +140,6 @@ def _tail2_kernel(
             nxt = planes[li + 1]
             dh = _TH // 2
             dw_p = _round_up(wpad // 2, 128)
-            s_cols = (
-                jax.lax.broadcasted_iota(jnp.int32, (wpad, dw_p), 0) // 2
-                == jax.lax.broadcasted_iota(jnp.int32, (wpad, dw_p), 1)
-            ).astype(jnp.float32)
         accs_lvl = [[jnp.float32(0.0)] * 6 for _ in range(3)]
         for t in range(nth):
             r0 = t * _TH
@@ -205,6 +202,7 @@ def _tail2_kernel(
                         cid == (w + 1) // 2 - 1,
                         jnp.float32(2.0), jnp.float32(1.0),
                     )
+                rsums = []
                 for img_idx, src3 in enumerate((a3, b3)):
                     for c in range(3):
                         q = jax.lax.slice(
@@ -212,12 +210,19 @@ def _tail2_kernel(
                             (c, ROW_HALO4, COL_HALO4),
                             (c + 1, ROW_HALO4 + _TH, COL_HALO4 + wpad),
                         )[0]
-                        rsum = q.reshape(dh, 2, wpad).sum(axis=1)
-                        quad = jax.lax.dot_general(
-                            rsum, s_cols,
-                            (((1,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32,
+                        rsums.append(q.reshape(dh, 2, wpad).sum(axis=1))
+                # Same packed DS_ENGINE pair-sum as the scale-0 kernel
+                # (limb3cp default: 8.35 vs 9.05 ms/b8 there, job 032).
+                quad_all = _pair_sum_cols(
+                    jnp.concatenate(rsums, axis=0), wpad, wpad // 2, dw_p
+                )
+                for img_idx in (0, 1):
+                    for c in range(3):
+                        slot_ = img_idx * 3 + c
+                        quad = jax.lax.slice(
+                            quad_all,
+                            (slot_ * dh, 0),
+                            (slot_ * dh + dh, dw_p),
                         )
                         ds_tile = quad * np.float32(0.25)
                         if h % 2 or w % 2:
