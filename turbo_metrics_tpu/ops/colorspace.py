@@ -24,6 +24,7 @@ PQ (SMPTE 2084) / HLG transfers for the HDR/XPSNR path.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -119,19 +120,27 @@ def _pow_pm1(t: jax.Array, m: int) -> jax.Array:
     return acc
 
 
+# Newton steps in the EOTF's inverse-root evaluation (see _pow_x2_xn2):
+# 2 -> maxrel 5.2e-7 for both n=9 (bt709) and n=5 (srgb); 1 -> 5.7e-6 /
+# 5.3e-7.  Default 1: measured -0.29 ms/b8 on chip at score delta 5.6e-4
+# (budget 0.05; job 036).
+EOTF_ITERS: int = int(os.environ.get("TM_EOTF_ITERS", "1"))
+
+
 def _pow_x2_xn2(x: jax.Array, n: int, magic: np.float32) -> jax.Array:
     """x^2 * (x^(1/n))^2 = x^(2 + 2/n) for x in (0, ~1.6], division-free.
 
-    Two inverse-root Newton steps from the magic seed, then the exact
-    second-order binomial correction (1+e)^(-(n-1)/n) ~ 1 + a*e + c2*e^2
-    with e = x*t^n - 1: measured maxrel 5.0e-7 over [1e-6, 1.6] for both
-    n=9 and n=5 — better than three Newton steps with the old first-order
-    correction (7.8e-7) at one fewer t^n evaluation per value."""
+    EOTF_ITERS inverse-root Newton steps from the magic seed, then the
+    exact third-order binomial correction (1+e)^(-(n-1)/n) ~ 1 + a*e +
+    c2*e^2 + c3*e^3 with e = x*t^n - 1: measured maxrel 5.2e-7 over
+    [1e-6, 1.6] for both n=9 and n=5 at 2 steps — better than three
+    Newton steps with the old first-order correction (7.8e-7) at one
+    fewer t^n evaluation per value."""
     x = jnp.maximum(x, np.float32(1e-6))
     i = jax.lax.bitcast_convert_type(x, jnp.int32).astype(jnp.float32)
     j = magic - i * np.float32(1.0 / n)
     t = jax.lax.bitcast_convert_type(j.astype(jnp.int32), jnp.float32)
-    for _ in range(2):
+    for _ in range(EOTF_ITERS):
         t = t * (np.float32(n + 1) - x * _pow_pm1(t, n)) * np.float32(
             1.0 / n
         )
@@ -139,7 +148,10 @@ def _pow_x2_xn2(x: jax.Array, n: int, magic: np.float32) -> jax.Array:
     e = x * (tm * t) - np.float32(1.0)
     a = -(n - 1.0) / n
     c2 = a * (a - 1.0) / 2.0
-    corr = np.float32(1.0) + e * (np.float32(a) + np.float32(c2) * e)
+    c3 = a * (a - 1.0) * (a - 2.0) / 6.0
+    corr = np.float32(1.0) + e * (
+        np.float32(a) + e * (np.float32(c2) + np.float32(c3) * e)
+    )
     u = x * tm * corr  # x^(1/n)
     return (x * x) * (u * u)
 

@@ -1508,11 +1508,32 @@ def _maps_and_sums_consistent(
             kappa, row0, col0, h, w, w_layout=w_layout,
         )
     if "maps" in DEBUG_SKIP:
-        # Data-dependent zeros so the blur work is not dead-code-eliminated.
-        z = jnp.sum(wt_nat[:1, :1]) * 0.0
+        # DCE-safe fake maps: consume EVERY element of the pack and the
+        # interiors with the same 18 full-array reductions the real maps
+        # end in, skipping only the ~35 elementwise map ops.  (A fake that
+        # samples one element lets Mosaic dead-code-eliminate most of the
+        # blur feeding it — the round-3 'sums 3.31 ms' artifact.)
+        lo = (ROW_HALO4, COL_HALO4)
+        hi_ = (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
+        sums18 = [
+            jnp.sum(
+                jax.lax.slice(
+                    wt_nat, (i * tile_h, 0), ((i + 1) * tile_h, tile_w)
+                )
+            )
+            for i in range(12)
+        ] + [
+            jnp.sum(jax.lax.slice(xyb_channel(idx, c, masked=False), lo, hi_))
+            for c in range(3)
+            for idx in (0, 1)
+        ]
         if return_sums:
-            return [[z] * 6 for _ in range(3)]
-        out_ref[...] = jnp.zeros_like(out_ref) + z
+            return [sums18[6 * c: 6 * c + 6] for c in range(3)]
+        for c in range(3):
+            out_ref[0, 0, 0, c, :] = jnp.stack(
+                sums18[6 * c: 6 * c + 6]
+                + [jnp.float32(0.0), jnp.float32(0.0)]
+            )
         return
 
     def bq(i):  # blurred quantity i, natural (tile_h, tile_w)
