@@ -666,3 +666,60 @@ def test_single_wide_tile_geometry_1280(rng):
         backend="interpret3",
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_zero_weight_skipping_exact(rng):
+    """SKIP_ZERO_WEIGHTED drops zero-weighted sub-score work in the mxuC
+    kernels (weight_needs): nonzero-weighted entries must be BIT-identical
+    to the full computation (the pack shrinks but every remaining matmul
+    column/window sees the same data), masked entries exactly 0, and the
+    final score unchanged to the last bit."""
+    import turbo_metrics_tpu.models.ssimulacra2 as s2m
+    from turbo_metrics_tpu.models.ssimulacra2_score import (
+        needs_mask,
+        postprocess_score,
+        weight_needs,
+    )
+
+    # weight_needs/needs_mask agree with each other and with WEIGHTS.
+    for ns in (3, 6):
+        nd = weight_needs(ns)
+        m = needs_mask(ns)
+        for s in range(ns):
+            for c in range(3):
+                for k in range(6):
+                    assert nd[s][c][k] == bool(m[c, s, k % 2, k // 2])
+
+    h, w = 160, 272  # multiple tail levels, CPU-feasible
+    lin1 = rng.random((1, 3, h, w)).astype(np.float32)
+    lin2 = np.clip(
+        lin1 + rng.normal(0, 0.03, lin1.shape).astype(np.float32), 0, 1
+    )
+    old = s2m.SKIP_ZERO_WEIGHTED
+    try:
+        for use_t2 in (False, True):
+            old_t2 = s2m.USE_TAIL2
+            s2m.USE_TAIL2 = use_t2
+            try:
+                s2m.SKIP_ZERO_WEIGHTED = False
+                full = np.asarray(
+                    s2m.ssimulacra2_subscores(
+                        jnp.asarray(lin1), jnp.asarray(lin2),
+                        num_scales=6, backend="interpret3",
+                    )
+                )
+                s2m.SKIP_ZERO_WEIGHTED = True
+                skip = np.asarray(
+                    s2m.ssimulacra2_subscores(
+                        jnp.asarray(lin1), jnp.asarray(lin2),
+                        num_scales=6, backend="interpret3",
+                    )
+                )
+            finally:
+                s2m.USE_TAIL2 = old_t2
+            m6 = needs_mask(6)
+            assert np.abs((full - skip) * m6).max() == 0.0, use_t2
+            assert np.abs(skip * (1.0 - m6)).max() == 0.0, use_t2
+            assert postprocess_score(full) == postprocess_score(skip)
+    finally:
+        s2m.SKIP_ZERO_WEIGHTED = old

@@ -47,6 +47,38 @@ import os as _os
 
 USE_TAIL2 = _os.environ.get("TM_USE_TAIL2", "1") == "1"
 
+# Skip zero-weighted sub-score work: only 52 of the 108 tuned weights are
+# nonzero, so the kernels can statically drop the other 56 sub-scores'
+# maps/blurs/reductions (models/ssimulacra2_score.weight_needs) — EXACT at
+# score level (a skipped entry is emitted as 0 and multiplies a 0 weight).
+# Every backend zeroes the same entries (_apply_needs_mask), so
+# cross-backend sub-score comparisons stay valid.  TM_SKIP_ZW=0 restores
+# full sub-score computation.
+SKIP_ZERO_WEIGHTED = _os.environ.get("TM_SKIP_ZW", "1") == "1"
+
+
+def _auto_needs(num_scales: int):
+    if not SKIP_ZERO_WEIGHTED:
+        return None
+    from turbo_metrics_tpu.models.ssimulacra2_score import weight_needs
+
+    return weight_needs(num_scales)
+
+
+def _apply_needs_mask(out: jax.Array, needs) -> jax.Array:
+    """Zero the (..., 3, S, 2, 3) sub-scores whose weight is zero, so every
+    backend (jnp, v3, mxuC-with-needs, interpret) emits the identical zero
+    pattern regardless of whether its kernel skipped the work."""
+    if needs is None:
+        return out
+    m = np.zeros((3, len(needs), 2, 3), np.float32)
+    for s, per_ch in enumerate(needs):
+        for c in range(3):
+            for k in range(6):
+                if per_ch[c][k]:
+                    m[c, s, k % 2, k // 2] = 1.0
+    return out * jnp.asarray(m)
+
 
 def _tail2_engages(
     remaining: int, h: int, w: int, p12_shape, kernel_kwargs
@@ -92,6 +124,7 @@ def ssimulacra2_subscores(
     """
     if backend == "auto":
         backend = default_backend()
+    needs = _auto_needs(num_scales)
 
     if backend in ("pallas3", "interpret3"):
         # Padded-chain pipeline (ops/pallas/scale_stats.py v4): one kernel
@@ -104,7 +137,7 @@ def ssimulacra2_subscores(
         h, w = lin_ref.shape[-2], lin_ref.shape[-1]
         p12 = pad_to_layout4(jnp.stack([lin_ref, lin_dis]), h, w)
         return ssimulacra2_subscores_from_padded(
-            p12, h, w, num_scales=num_scales, interpret=interp
+            p12, h, w, num_scales=num_scales, interpret=interp, needs=needs
         )
 
     if backend in ("pallas2", "interpret2"):
@@ -139,7 +172,7 @@ def ssimulacra2_subscores(
                 # the megakernel's VMEM budget.
                 lin_ref = downscale_by_2_pallas(lin_ref, interpret=interp)
                 lin_dis = downscale_by_2_pallas(lin_dis, interpret=interp)
-        return jnp.stack(per_scale, axis=2)
+        return _apply_needs_mask(jnp.stack(per_scale, axis=2), needs)
 
     # 'jnp_iir': the faithful f32 recursive-Gaussian blur (parity mode — the
     # recursion the canonical CPU implementations use, with their rounding
@@ -179,7 +212,7 @@ def ssimulacra2_subscores(
             )
             mu1, mu2, s11, s22, s12 = jnp.split(blur_fn(stacked), 5, axis=1)
             per_scale.append(scale_norms(xyb1, xyb2, mu1, mu2, s11, s22, s12))
-    return jnp.stack(per_scale, axis=2)
+    return _apply_needs_mask(jnp.stack(per_scale, axis=2), needs)
 
 
 def ssimulacra2_subscores_from_padded(
@@ -190,12 +223,21 @@ def ssimulacra2_subscores_from_padded(
     num_scales: int,
     interpret: bool = False,
     ds_bufs: Optional[list] = None,
+    needs="auto",
     **kernel_kwargs,
 ):
     """v4 padded-chain sub-scores from a producer-written (2, B, 3, hp, wp)
     buffer (ops/pallas/convert.yuv420_to_linear_rgb_padded) — the zero-copy
     fast path: no pad or slice materialisation anywhere between the decoded
-    YUV planes and the final sums."""
+    YUV planes and the final sums.
+
+    ``needs``: per-scale zero-weight work masks (SKIP_ZERO_WEIGHTED).  The
+    default "auto" derives them from ``num_scales`` — correct when this
+    call computes the WHOLE pyramid (the weight stream is consumed
+    contiguously, see postprocess_score); mid-chain callers (from_yuv)
+    pass the explicit tail slice.  None disables skipping."""
+    if needs == "auto":
+        needs = _auto_needs(num_scales)
     from turbo_metrics_tpu.ops.pallas.scale_stats import (
         fused_scale_pallas_v4,
         fused_tail_pallas,
@@ -213,7 +255,10 @@ def ssimulacra2_subscores_from_padded(
                 fused_pyramid_tail_pallas,
             )
 
-            raw = fused_pyramid_tail_pallas(p12, h, w, interpret=interpret)
+            raw = fused_pyramid_tail_pallas(
+                p12, h, w, interpret=interpret,
+                needs_lvls=needs[s : s + 5] if needs is not None else None,
+            )
             lh, lw = h, w
             for li in range(5):
                 per_scale.append(
@@ -227,7 +272,12 @@ def ssimulacra2_subscores_from_padded(
             for _ in range(remaining):
                 dims.append((lh, lw))
                 lh, lw = (lh + 1) // 2, (lw + 1) // 2
-            tail = fused_tail_pallas(p12, dims, interpret=interpret)
+            tail = fused_tail_pallas(
+                p12, dims, interpret=interpret,
+                needs_lvls=(
+                    needs[s : s + remaining] if needs is not None else None
+                ),
+            )
             for i, (lh, lw) in enumerate(dims):
                 per_scale.append(norms_from_sums(tail[:, i], lh * lw))
             break
@@ -236,7 +286,9 @@ def ssimulacra2_subscores_from_padded(
             ds_buf = ds_bufs[len(ds_outs)]
         sums, ds12 = fused_scale_pallas_v4(
             p12, h, w, emit_ds=s < num_scales - 1, interpret=interpret,
-            ds_buf=ds_buf, **kernel_kwargs,
+            ds_buf=ds_buf,
+            needs=needs[s] if needs is not None else None,
+            **kernel_kwargs,
         )
         per_scale.append(norms_from_sums(sums, h * w))
         if s < num_scales - 1:
@@ -244,7 +296,9 @@ def ssimulacra2_subscores_from_padded(
             ds_outs.append(ds12)
             h, w = (h + 1) // 2, (w + 1) // 2
         s += 1
-    out = jnp.stack(per_scale, axis=2)
+    # Non-mxuC engines compute the full sub-scores; the mask makes the
+    # emitted zero pattern identical across engines (score unchanged).
+    out = _apply_needs_mask(jnp.stack(per_scale, axis=2), needs)
     if ds_bufs is not None:
         return out, ds_outs
     return out
@@ -263,6 +317,7 @@ def ssimulacra2_subscores_from_yuv(
     full_range: bool = False,
     ds_bufs: Optional[list] = None,
     padded_planes: Optional[tuple] = None,
+    needs="auto",
     interpret: bool = False,
     **kernel_kwargs,
 ):
@@ -280,6 +335,8 @@ def ssimulacra2_subscores_from_yuv(
         norms_from_sums,
     )
 
+    if needs == "auto":
+        needs = _auto_needs(num_scales)
     emit = num_scales > 1
     ds0 = ds_bufs[0] if (ds_bufs and emit) else None
     if padded_planes is not None:
@@ -289,15 +346,18 @@ def ssimulacra2_subscores_from_yuv(
         depth=depth, matrix=matrix, transfer=transfer,
         full_range=full_range,
         emit_ds=emit, ds_buf=ds0, padded_planes=padded_planes,
+        needs=needs[0] if needs is not None else None,
         interpret=interpret, **kernel_kwargs,
     )
     per0 = norms_from_sums(sums0, h * w)[:, :, None]  # (B, 3, 1, 2, 3)
+    per0 = _apply_needs_mask(per0, needs[:1] if needs is not None else None)
     if not emit:
         return (per0, []) if ds_bufs is not None else per0
     rest = ssimulacra2_subscores_from_padded(
         ds12, (h + 1) // 2, (w + 1) // 2,
         num_scales=num_scales - 1,
         ds_bufs=ds_bufs[1:] if ds_bufs is not None else None,
+        needs=needs[1:] if needs is not None else None,
         interpret=interpret, **kernel_kwargs,
     )
     if ds_bufs is not None:

@@ -1134,9 +1134,23 @@ def _split3(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     return h, m, l
 
 
+def _pack_layout(needs):
+    """mxuC pack layout under a ``needs`` mask (see weight_needs in
+    models/ssimulacra2_score.py): the tuple of active channels (any sum
+    needed — mu blurs + interiors) and the subset that needs the
+    modified-SSIM map (product blurs s_sum/s12).  ``needs=None`` means
+    full compute: all three channels in both groups."""
+    if needs is None:
+        needs = ((True,) * 6,) * 3
+    act = tuple(c for c in range(3) if any(needs[c]))
+    ssim = tuple(c for c in act if needs[c][0] or needs[c][1])
+    return act, ssim
+
+
 def _blur_pack_mxuC(
     xyb_channel, hmat2, wt2, tile_h, tile_w,
     rows, cols, kappa, row0, col0, h, w, w_layout="t", tick=None,
+    needs=None,
 ):
     """Front half of the mxuC engine (see _maps_and_sums_consistent for the
     numeric design): consistent-limb splits + H band matmuls + W band
@@ -1149,10 +1163,20 @@ def _blur_pack_mxuC(
     Mosaic's scheduler (whose reordering window is local — measured in
     /tmp diagnostics: adjacent independent MXU/VPU work overlaps ~fully,
     program-order-distant work not at all) can run the MXU passes under
-    the VPU maps."""
+    the VPU maps.
+
+    ``needs`` (weight_needs entry) statically drops zero-weighted work:
+    channels outside the active set contribute nothing (no xyb, no blur),
+    and the product blurs (group B) exist only for channels whose
+    modified-SSIM map has a nonzero weight — at scale 0 that is ONE of the
+    three channels, shrinking the pack from 12 to 8 blurred quantities and
+    skipping two channels' products + 3-limb splits outright."""
     def _tick():
         if tick is not None:
             next(tick, None)
+
+    act, ssim_ch = _pack_layout(needs)
+    apos = {c: i for i, c in enumerate(act)}
 
     if hmat2.shape[1] == tile_h:
         # Fold row validity (blur zero-extension at image borders) into the
@@ -1175,7 +1199,7 @@ def _blur_pack_mxuC(
     # Group A: 2-limb xyb quantities, consistent values ah (UNmasked —
     # validity is folded into the band matrices).
     a0s, a1s, ahs = [], [], []
-    for c in range(3):
+    for c in act:
         for idx in (0, 1):
             h0, l0 = _split2(xyb_channel(idx, c, masked=False))
             a0s.append(h0)
@@ -1183,20 +1207,21 @@ def _blur_pack_mxuC(
             ahs.append(h0.astype(jnp.float32) + l0.astype(jnp.float32))
     # Group B: products of consistent values, exact 3-limb split.
     b0s, b1s, b2s = [], [], []
-    for c in range(3):
-        ah, bh = ahs[2 * c], ahs[2 * c + 1]
+    for c in ssim_ch:
+        ah, bh = ahs[2 * apos[c]], ahs[2 * apos[c] + 1]
         for q in (ah * ah + bh * bh, ah * bh):
             q0, q1, q2 = _split3(q)
             b0s.append(q0)
             b1s.append(q1)
             b2s.append(q2)
+    na, nb = 2 * len(act), 2 * len(ssim_ch)
 
-    # H pass: lane-packed matmuls over all 12 quantities.
-    pa0 = jnp.concatenate(a0s, axis=1)  # (rows, 6*cols) bf16
+    # H pass: lane-packed matmuls over the active quantities.
+    pa0 = jnp.concatenate(a0s, axis=1)  # (rows, na*cols) bf16
     pa1 = jnp.concatenate(a1s, axis=1)
-    pb0 = jnp.concatenate(b0s, axis=1)
-    pb1 = jnp.concatenate(b1s, axis=1)
-    pb2 = jnp.concatenate(b2s, axis=1)
+    pb0 = jnp.concatenate(b0s, axis=1) if nb else None
+    pb1 = jnp.concatenate(b1s, axis=1) if nb else None
+    pb2 = jnp.concatenate(b2s, axis=1) if nb else None
     hch = hmat2.shape[1]
     if hch < tile_h:
         # Chunked H pass ('h16'/'h32'): the band is Toeplitz, so one tiny
@@ -1221,29 +1246,30 @@ def _blur_pack_mxuC(
                 dot(hm0c, pa0c) + dot(hm0c, pa1c)
                 + dot(hm1c, pa0c) + dot(hm1c, pa1c)
             )
-            pb0c, pb1c, pb2c = slr(pb0), slr(pb1), slr(pb2)
-            hb_cs.append(
-                dot(hm0c, pb0c) + dot(hm0c, pb1c) + dot(hm0c, pb2c)
-                + dot(hm1c, pb0c) + dot(hm1c, pb1c)
-            )
+            if nb:
+                pb0c, pb1c, pb2c = slr(pb0), slr(pb1), slr(pb2)
+                hb_cs.append(
+                    dot(hm0c, pb0c) + dot(hm0c, pb1c) + dot(hm0c, pb2c)
+                    + dot(hm1c, pb0c) + dot(hm1c, pb1c)
+                )
         ha = jnp.concatenate(ha_cs, axis=0)
-        hb = jnp.concatenate(hb_cs, axis=0)
+        hb = jnp.concatenate(hb_cs, axis=0) if nb else None
     else:
         ha = dot(hm0, pa0) + dot(hm0, pa1) + dot(hm1, pa0) + dot(hm1, pa1)
         hb = (
             dot(hm0, pb0) + dot(hm0, pb1) + dot(hm0, pb2)
             + dot(hm1, pb0) + dot(hm1, pb1)
-        )
+        ) if nb else None
 
     # Repack quantity segments along sublanes.
     segs = [
         jax.lax.slice(ha, (0, i * cols), (tile_h, (i + 1) * cols))
-        for i in range(6)
+        for i in range(na)
     ] + [
         jax.lax.slice(hb, (0, i * cols), (tile_h, (i + 1) * cols))
-        for i in range(6)
+        for i in range(nb)
     ]
-    nq = 12 * tile_h
+    nq = (na + nb) * tile_h
     if w_layout == "r":
         # Right-multiply W pass: no transposes at all — the sublane pack
         # stays in natural orientation and each 128-aligned lane window is
@@ -1317,55 +1343,80 @@ def _interior_mask(tile_h, tile_w, row0, col0, h, w):
 
 
 def _maps_sums_gen(
-    bq, iq, mask, tile_h, tile_w, fastdiv, cw, sum_fn, finish,
+    bq, iq, mask, tile_h, tile_w, fastdiv, cw, sum_fn, finish, needs=None,
 ):
     """Generator over the mxuC maps stage: per (channel, column-chunk) unit
     of VPU work, yielding once before each unit so a pipelined caller can
     interleave the units between another tile's MXU dots.  ``bq(i)``/
     ``iq(i)`` return blurred quantity / interior i as (tile_h, tile_w);
-    ``finish(all_accs)`` consumes the 3x6 sums."""
+    ``finish(all_accs)`` consumes the 3x6 sums.
+
+    ``needs`` (weight_needs entry) statically gates the per-channel map
+    math and reductions to the nonzero-weighted sub-scores; skipped sums
+    finish as exact 0.0.  The pack indexing follows _pack_layout: group A
+    (mu blurs) covers the active channels, group B (s_sum/s12) only the
+    ssim channels."""
     one = jnp.float32(1.0)
+    act, ssim_ch = _pack_layout(needs)
+    apos = {c: i for i, c in enumerate(act)}
+    spos = {c: i for i, c in enumerate(ssim_ch)}
+    na = 2 * len(act)
+    if needs is None:
+        needs = ((True,) * 6,) * 3
     all_accs = []
     for c in range(3):
-        mu1f, mu2f = bq(2 * c), bq(2 * c + 1)
-        s_sumf, s12f = bq(6 + 2 * c), bq(6 + 2 * c + 1)
-        i1f, i2f = iq(2 * c), iq(2 * c + 1)
         accs = [jnp.float32(0.0)] * 6
+        if c not in apos:
+            all_accs.append(accs)
+            continue
+        need_ssim = needs[c][0] or needs[c][1]
+        need_art = needs[c][2] or needs[c][3]
+        need_det = needs[c][4] or needs[c][5]
+        mu1f, mu2f = bq(2 * apos[c]), bq(2 * apos[c] + 1)
+        if need_ssim:
+            s_sumf, s12f = bq(na + 2 * spos[c]), bq(na + 2 * spos[c] + 1)
+        i1f, i2f = iq(2 * apos[c]), iq(2 * apos[c] + 1)
         for j0 in range(0, tile_w, cw):
             yield
             def sl(t, j0=j0):
                 return jax.lax.slice(t, (0, j0), (tile_h, j0 + cw))
 
             mu1, mu2 = sl(mu1f), sl(mu2f)
-            s_sum, s12 = sl(s_sumf), sl(s12f)
             i1, i2 = sl(i1f), sl(i2f)
             msk = sl(mask)
 
-            mu12 = mu1 * mu2
-            mu_diff = mu1 - mu2
-            num_m = one - mu_diff * mu_diff
-            num_s = jnp.float32(2.0) * (s12 - mu12) + C2
-            denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
-            d = jnp.maximum(
-                _map_div(denom_s - num_m * num_s, denom_s, fastdiv), 0.0
-            )
+            maps6 = [None] * 6
+            if need_ssim:
+                s_sum, s12 = sl(s_sumf), sl(s12f)
+                mu12 = mu1 * mu2
+                mu_diff = mu1 - mu2
+                num_m = one - mu_diff * mu_diff
+                num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+                denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+                d = jnp.maximum(
+                    _map_div(denom_s - num_m * num_s, denom_s, fastdiv), 0.0
+                ) * msk
+                d2 = d * d
+                maps6[0], maps6[1] = d, d2 * d2
 
-            aa = jnp.abs(i2 - mu2)
-            bb2 = jnp.abs(i1 - mu1)
-            # Masking d1m once replaces masking art and det separately:
-            # max(x*m, 0) == max(x, 0)*m for m in {0, 1}.
-            d1m = _map_div(aa - bb2, one + bb2, fastdiv) * msk
-            art = jnp.maximum(d1m, 0.0)
-            det = jnp.maximum(-d1m, 0.0)
+            if need_art or need_det:
+                aa = jnp.abs(i2 - mu2)
+                bb2 = jnp.abs(i1 - mu1)
+                # Masking d1m once replaces masking art and det separately:
+                # max(x*m, 0) == max(x, 0)*m for m in {0, 1}.
+                d1m = _map_div(aa - bb2, one + bb2, fastdiv) * msk
+                if need_art:
+                    art = jnp.maximum(d1m, 0.0)
+                    art2 = art * art
+                    maps6[2], maps6[3] = art, art2 * art2
+                if need_det:
+                    det = jnp.maximum(-d1m, 0.0)
+                    det2 = det * det
+                    maps6[4], maps6[5] = det, det2 * det2
 
-            d = d * msk
-            d2 = d * d
-            art2 = art * art
-            det2 = det * det
-            for k, m in enumerate(
-                (d, d2 * d2, art, art2 * art2, det, det2 * det2)
-            ):
-                accs[k] = accs[k] + sum_fn(m)
+            for k in range(6):
+                if needs[c][k]:
+                    accs[k] = accs[k] + sum_fn(maps6[k])
         all_accs.append(accs)
     finish(all_accs)
 
@@ -1439,6 +1490,7 @@ def _maps_and_sums_consistent(
     out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
     rows, cols, kappa, row0, col0, h, w, fastdiv="div",
     map_chunk=0, mxu_sums=False, w_layout="t", return_sums=False,
+    needs=None,
 ):
     """Consistent-limb packed MXU blur ('mxuC'): HIGHEST-class accuracy at
     bf16-pass cost.
@@ -1487,6 +1539,10 @@ def _maps_and_sums_consistent(
     """
     if not return_sums:
         out_ref[...] = jnp.zeros_like(out_ref)
+    if DEBUG_SKIP:
+        # Attribution knockouts measure the FULL engine; a needs mask would
+        # change the work being attributed (scores are meaningless anyway).
+        needs = None
     if "blur" in DEBUG_SKIP:
         lo = (ROW_HALO4, COL_HALO4)
         hi_ = (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
@@ -1505,7 +1561,7 @@ def _maps_and_sums_consistent(
     else:
         wt_nat, interiors = _blur_pack_mxuC(
             xyb_channel, hmat2, wt2, tile_h, tile_w, rows, cols,
-            kappa, row0, col0, h, w, w_layout=w_layout,
+            kappa, row0, col0, h, w, w_layout=w_layout, needs=needs,
         )
     if "maps" in DEBUG_SKIP:
         # DCE-safe fake maps: consume EVERY element of the pack and the
@@ -1580,7 +1636,8 @@ def _maps_and_sums_consistent(
 
     cw = map_chunk or tile_w
     for _ in _maps_sums_gen(
-        bq, iq, mask, tile_h, tile_w, fastdiv, cw, _sum, finish
+        bq, iq, mask, tile_h, tile_w, fastdiv, cw, _sum, finish,
+        needs=needs,
     ):
         pass
     if return_sums:
@@ -1676,7 +1733,7 @@ def _pipelined_maps_mxuC(
 def _maps_consistent_subtiled(
     out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
     rows, cols, kappa, row0, col0, h, w, *, subtiles=1, fastdiv="div",
-    map_chunk=0, mxu_sums=False, w_layout="t",
+    map_chunk=0, mxu_sums=False, w_layout="t", needs=None,
 ):
     """mxuC maps, optionally split into ``subtiles`` independent row
     sub-chains (ILP experiment, docs/PERFORMANCE.md round-3 roadmap #2):
@@ -1692,6 +1749,7 @@ def _maps_consistent_subtiled(
             out_ref, xyb_channel, hmat2, wt2, tile_h, tile_w,
             rows, cols, kappa, row0, col0, h, w, fastdiv=fastdiv,
             map_chunk=map_chunk, mxu_sums=mxu_sums, w_layout=w_layout,
+            needs=needs,
         )
     th2 = tile_h // subtiles
     xyb_full = {
@@ -1712,7 +1770,7 @@ def _maps_consistent_subtiled(
             None, xyb_sub, hmat2, wt2, th2, tile_w,
             th2 + 16, cols, kappa, row0 + off, col0, h, w,
             fastdiv=fastdiv, map_chunk=map_chunk, mxu_sums=mxu_sums,
-            w_layout=w_layout, return_sums=True,
+            w_layout=w_layout, return_sums=True, needs=needs,
         )
         for c in range(3):
             for k in range(6):
@@ -2069,6 +2127,7 @@ def _fused_scale_kernel_v4(
     subtiles: int = 1,
     pipelined: bool = False,
     interleave: bool = True,
+    needs: tuple | None = None,
 ):
     """One pyramid level: XYB + 4-blur + maps + sums, plus (emit_ds) the
     exact 2x2-mean downscale of the linear tile written straight into the
@@ -2331,6 +2390,7 @@ def _fused_scale_kernel_v4(
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
             row0, col0, h, w, subtiles=subtiles, fastdiv=fastdiv,
             map_chunk=map_chunk, mxu_sums=mxu_sums, w_layout=w_layout,
+            needs=needs,
         )
     elif w_pass == "mxuX":
         _maps_and_sums_exact_mxu(
@@ -2385,6 +2445,7 @@ def _fused_scale0_yuv_kernel(
     subtiles: int = 1,
     pipelined: bool = False,
     interleave: bool = True,
+    needs: tuple | None = None,
 ):
     """v5: scale 0 straight from padded u8 YUV planes — the conversion
     (range offsets, matrix, exact chunked one-hot chroma upsample, EOTF,
@@ -2652,6 +2713,7 @@ def _fused_scale0_yuv_kernel(
             tile_h, tile_w, rows, cols, _tapsum_kappa(taps),
             row0, col0, h, w, subtiles=subtiles, fastdiv=fastdiv,
             map_chunk=map_chunk, mxu_sums=mxu_sums, w_layout=w_layout,
+            needs=needs,
         )
     else:
         _maps_and_sums(
@@ -2687,6 +2749,7 @@ def fused_scale0_yuv_pallas(
     interleave: bool = True,
     ds_buf: jax.Array | None = None,
     padded_planes: tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    needs: tuple | None = None,
     interpret: bool = False,
 ):
     """Scale 0 of the pyramid straight from YUV 4:2:0 — conversion fused.
@@ -2892,6 +2955,7 @@ def fused_scale0_yuv_pallas(
         subtiles=subtiles,
         pipelined=pipelined,
         interleave=interleave,
+        needs=needs if (w_pass == "mxuC" and not pipelined) else None,
     )
     outs = pl.pallas_call(
         kernel,
@@ -2926,6 +2990,7 @@ def _fused_tail_kernel(
     dims: tuple[tuple[int, int], ...],
     planes: tuple[tuple[int, int], ...],
     taps: tuple[float, ...],
+    needs_lvls: tuple | None = None,
 ):
     """All remaining small pyramid levels for ONE batch element, entirely in
     VMEM.  ``p_hbm`` block: (2, 1, 3, ph0, pw0) — the first tail level's
@@ -2985,44 +3050,56 @@ def _fused_tail_kernel(
             return _blur_h(qw, tp, 8 - r, LH)
 
         one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
         for c in range(3):
+            nd = needs_lvls[li][c] if needs_lvls is not None else (True,) * 6
+            if not any(nd):
+                out_ref[0, li, c, :] = jnp.zeros((8,), jnp.float32)
+                continue
+            need_ssim = nd[0] or nd[1]
+            need_art = nd[2] or nd[3]
+            need_det = nd[4] or nd[5]
             a = xyb_channel(0, c)
             b = xyb_channel(1, c)
-            mu1, mu2, s_sum, s12 = (blur(q) for q in (a, b, a * a + b * b, a * b))
+            mu1, mu2 = blur(a), blur(b)
             i1 = jax.lax.slice(a, (8, 128), (8 + LH, 128 + LW))
             i2 = jax.lax.slice(b, (8, 128), (8 + LH, 128 + LW))
 
-            mu12 = mu1 * mu2
-            mu_diff = mu1 - mu2
-            num_m = one - mu_diff * mu_diff
-            num_s = jnp.float32(2.0) * (s12 - mu12) + C2
-            denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
-            d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+            sums6 = [zero] * 6
+            if need_ssim:
+                s_sum, s12 = blur(a * a + b * b), blur(a * b)
+                mu12 = mu1 * mu2
+                mu_diff = mu1 - mu2
+                num_m = one - mu_diff * mu_diff
+                num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+                denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+                d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+                d = d * mask
+                d2 = d * d
+                if nd[0]:
+                    sums6[0] = jnp.sum(d)
+                if nd[1]:
+                    sums6[1] = jnp.sum(d2 * d2)
 
-            aa = jnp.abs(i2 - mu2)
-            bb2 = jnp.abs(i1 - mu1)
-            d1m = (aa - bb2) / (one + bb2)
-            art = jnp.maximum(d1m, 0.0)
-            det = jnp.maximum(-d1m, 0.0)
-
-            d = d * mask
-            art = art * mask
-            det = det * mask
-            d2 = d * d
-            art2 = art * art
-            det2 = det * det
-            out_ref[0, li, c, :] = jnp.stack(
-                [
-                    jnp.sum(d),
-                    jnp.sum(d2 * d2),
-                    jnp.sum(art),
-                    jnp.sum(art2 * art2),
-                    jnp.sum(det),
-                    jnp.sum(det2 * det2),
-                    jnp.float32(0.0),
-                    jnp.float32(0.0),
-                ]
-            )
+            if need_art or need_det:
+                aa = jnp.abs(i2 - mu2)
+                bb2 = jnp.abs(i1 - mu1)
+                d1m = (aa - bb2) / (one + bb2) * mask
+                if need_art:
+                    art = jnp.maximum(d1m, 0.0)
+                    art2 = art * art
+                    if nd[2]:
+                        sums6[2] = jnp.sum(art)
+                    if nd[3]:
+                        sums6[3] = jnp.sum(art2 * art2)
+                if need_det:
+                    det = jnp.maximum(-d1m, 0.0)
+                    det2 = det * det
+                    if nd[4]:
+                        sums6[4] = jnp.sum(det)
+                    if nd[5]:
+                        sums6[5] = jnp.sum(det2 * det2)
+            out_ref[0, li, c, :] = jnp.stack(sums6 + [zero, zero])
 
         # Exact 2x2-mean downscale into the next level's VMEM plane.
         if li + 1 < nlev:
@@ -3146,6 +3223,7 @@ def fused_tail_pallas(
     p12: jax.Array,
     dims: list[tuple[int, int]],
     *,
+    needs_lvls: tuple | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Sums for ALL of ``dims`` (the small pyramid levels) in one kernel.
@@ -3174,6 +3252,7 @@ def fused_tail_pallas(
         dims=tuple(dims),
         planes=tuple(planes),
         taps=taps,
+        needs_lvls=needs_lvls,
     )
     out = pl.pallas_call(
         kernel,
@@ -3219,6 +3298,7 @@ def fused_scale_pallas_v4(
     subtiles: int = 1,
     pipelined: bool = False,
     interleave: bool = True,
+    needs: tuple | None = None,
 ):
     """One padded-chain pyramid level.
 
@@ -3406,6 +3486,7 @@ def fused_scale_pallas_v4(
         subtiles=subtiles,
         pipelined=pipelined,
         interleave=interleave,
+        needs=needs if (w_pass == "mxuC" and not pipelined) else None,
     )
     outs = pl.pallas_call(
         kernel,

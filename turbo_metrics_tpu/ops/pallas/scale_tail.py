@@ -87,6 +87,7 @@ def _tail2_kernel(
     dims,
     kappa: float,
     bsz: int,
+    needs_lvls=None,
 ):
     p = pl.program_id(0)
     rows1 = dims[0][3] * _TH + 16
@@ -178,6 +179,7 @@ def _tail2_kernel(
                 None, xyb_channel, hm, wt, _TH, wpad,
                 _TH + 16, cols, kappa, r0, 0, h, w,
                 return_sums=True,
+                needs=needs_lvls[li] if needs_lvls is not None else None,
             )
             for c in range(3):
                 for k in range(6):
@@ -239,7 +241,8 @@ def _tail2_kernel(
 
 
 def fused_pyramid_tail_pallas(
-    p12: jax.Array, h1: int, w1: int, *, interpret: bool = False
+    p12: jax.Array, h1: int, w1: int, *, needs_lvls=None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Levels 1-5 sums from the scale-0 kernel's emitted level-1 buffer.
     Returns (B, 5, 3, 8) raw sums (norms_from_sums applies downstream)."""
@@ -272,6 +275,7 @@ def fused_pyramid_tail_pallas(
 
     kernel = functools.partial(
         _tail2_kernel, dims=dims, kappa=kappa, bsz=bsz,
+        needs_lvls=needs_lvls,
     )
     out = pl.pallas_call(
         kernel,
