@@ -59,6 +59,10 @@ struct TmInfo {
     int32_t time_base_den;
     int32_t fps_num;
     int32_t fps_den;
+    // Stream start offset in time_base units (0 if unknown).  Containers
+    // like MPEG-TS start at a nonzero PTS; frame-index <-> PTS mappings
+    // must subtract it or chunked seeks land ~start_pts/fps frames off.
+    int64_t start_pts;
 };
 
 // Caller-supplied IO callbacks for streaming input (stdin, pipes, Python
@@ -208,6 +212,7 @@ int tm_info(TmHandle* h, TmInfo* out) {
     out->time_base_den = st->time_base.den;
     out->fps_num = st->avg_frame_rate.num;
     out->fps_den = st->avg_frame_rate.den;
+    out->start_pts = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
     return 0;
 }
 

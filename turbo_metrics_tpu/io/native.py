@@ -49,6 +49,7 @@ class _TmInfo(ctypes.Structure):
         ("time_base_den", ctypes.c_int32),
         ("fps_num", ctypes.c_int32),
         ("fps_den", ctypes.c_int32),
+        ("start_pts", ctypes.c_int64),
     ]
 
 
@@ -152,6 +153,7 @@ class NativeVideoSource(FrameSource):
                 raise ValueError("need a path or a stream")
             self._h = lib.tm_open(str(path).encode())
             name = path
+            self._path = str(path)
         if not self._h:
             raise ValueError(f"could not open video: {name}")
         self._read_info_and_alloc()
@@ -318,14 +320,34 @@ class NativeVideoSource(FrameSource):
         i = self.info
         num = int(i.fps_den) * int(i.time_base_den)
         den = int(i.fps_num) * int(i.time_base_num)
-        return (n * num + den // 2) // den
+        # start_pts: containers like MPEG-TS start at a nonzero PTS; frame 0
+        # sits at start_pts, not 0 (without the offset every chunked seek
+        # landed ~start_pts/fps frames early and chunks emitted duplicates).
+        return int(i.start_pts) + (n * num + den // 2) // den
 
     def frame_index(self, pts: int) -> int:
         """Map a stream timestamp back to a CFR frame index."""
         i = self.info
         num = int(i.fps_num) * int(i.time_base_num)
         den = int(i.fps_den) * int(i.time_base_den)
-        return (pts * num + den // 2) // den
+        return ((pts - int(i.start_pts)) * num + den // 2) // den
+
+    def _reopen(self) -> bool:
+        """Re-open a path-backed source at the true stream start (frame 0).
+
+        The fallback when av_seek_frame cannot land at/before a target even
+        at ts = start_pts (mpegts' timestamp binary search finds the NEXT
+        keyframe after its byte estimate, so the first GOP is unreachable
+        by seeking)."""
+        path = getattr(self, "_path", None)
+        if not path:
+            return False
+        self._lib.tm_close(self._h)
+        self._h = self._lib.tm_open(path.encode())
+        if not self._h:
+            raise RuntimeError(f"could not reopen video: {path}")
+        self._pushed_back = []
+        return True
 
     def seek_to_frame(self, n: int) -> bool:
         """Position the stream so the next get_frame() returns frame ``n``.
@@ -336,18 +358,51 @@ class NativeVideoSource(FrameSource):
         callers fall back to sequential decode."""
         if not self.can_seek():
             return False
-        if self._lib.tm_seek(self._h, self._pts_for_frame(n)) != 0:
-            return False
-        self._pushed_back = []
-        while True:
+        i = self.info
+        second = int(i.time_base_den) // max(int(i.time_base_num), 1)
+        # av_seek_frame(BACKWARD) is imprecise on index-less containers
+        # (MPEG-TS does a timestamp binary search and can land at a keyframe
+        # AFTER the target, measured one full GOP late); retry with a
+        # growing backward margin until the first decoded frame is at or
+        # before the target, then decode-discard forward to it exactly.
+        target = self._pts_for_frame(n)
+        f = None
+        for margin in (0, second, 4 * second, 16 * second):
+            ts = max(target - margin, int(i.start_pts))
+            if self._lib.tm_seek(self._h, ts) != 0:
+                return False
+            self._pushed_back = []
             f = self.next_frame()
             if f is None:
                 return False  # seek target beyond EOF
             if self.last_pts == self.AV_NOPTS:
                 return False  # no timestamps: index unknowable after a seek
+            if self.frame_index(self.last_pts) <= n:
+                break  # landed at or before the target: decode forward
+            f = None
+            if ts <= int(i.start_pts):
+                break  # even the earliest seek point decodes past n
+        if f is None:
+            # Decode-from-start fallback (unavailable for callback streams).
+            if not self._reopen():
+                return False
+            f = self.next_frame()
+            if f is None:
+                return False
+            if self.last_pts == self.AV_NOPTS:
+                return False
+        # Decode-discard forward to exactly n.  The probe frame in hand is
+        # checked FIRST — next_frame() bypasses _pushed_back, so pushing the
+        # probe back before this loop would leak it out of order later.
+        while True:
             if self.frame_index(self.last_pts) >= n:
                 self.push_back(f)
                 return True
+            f = self.next_frame()
+            if f is None:
+                return False  # seek target beyond EOF
+            if self.last_pts == self.AV_NOPTS:
+                return False
 
     def close(self) -> None:
         if self._h:
