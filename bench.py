@@ -132,9 +132,10 @@ def main() -> int:
     from turbo_metrics_tpu.ops import colorspace
     from turbo_metrics_tpu.ops.downscale import scale_dims
 
-    # b16 measured ~3% faster per frame than b8 on chip (21.38 vs 2x11.02
-    # ms, job 033); staging cost is the same (two pre-staged sets).
-    batch = int(os.environ.get("TM_BENCH_BATCH", "16"))
+    # b24 measured fastest per frame on chip (787 fps vs 778 b16 / 756 b8,
+    # docs/PERFORMANCE.md round-3 final); staging cost is the same (two
+    # pre-staged sets).
+    batch = int(os.environ.get("TM_BENCH_BATCH", "24"))
     iters = int(os.environ.get("TM_BENCH_ITERS", "32"))
     num_scales = len(scale_dims(H, W))
 

@@ -22,6 +22,57 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Two test tiers (CLAUDE.md): `pytest -m quick` is the fast dev gate
+# (~5-8 min: every oracle, one interpret-mode test per kernel family,
+# all pure-CPU logic); the unmarked full run (~30 min) is the
+# end-of-round gate.  SLOW = items that cost >20s on the dev host
+# (measured 2026-08-19, --durations), except the default engine's
+# interpret gate (mxuC-8) which stays quick.
+_SLOW = {
+    "test_ds_buffer_bookkeeping_matches_runtime",
+    "test_engine_mesh_sharding",
+    "test_zero_weight_skipping_exact",
+    "test_ssimulacra2_tail2_matches_chain",
+    "test_dryrun_multichip_8",
+    "test_msssim_pallas_chain_odd_dims",
+    "test_pipelined_mxuc_matches_monolithic",
+    "test_msssim_tail_matches_jnp",
+    "test_ssim_pallas_matches_jnp",
+    "test_mixed_bitdepth_xpsnr_vmaf",
+    "test_single_wide_tile_geometry_1280",
+    "test_vif_pallas_matches_oracle[hw0]",
+    "test_vif_pallas_matches_oracle[hw1]",
+    "test_vif_pallas_matches_oracle[hw2]",
+    "test_adm_pallas_matches_oracle[hw0]",
+    "test_adm_pallas_matches_oracle[hw1]",
+    "test_adm_pallas_matches_oracle[hw2]",
+    "test_fused_v2_matches_jnp[hw0]",
+    "test_fused_v2_matches_jnp[hw1]",
+    "test_fused_v2_matches_jnp[hw2]",
+    "test_engine_vmaf_features_via_cli",
+    "test_v4_downscale_chain_exact",
+    "test_motion_stream_matches_oracle",
+    "test_cli_vmaf_model",
+    "test_fused_v4_chain_matches_jnp[hw2]",
+    "test_fused_yuv_scale0_interpret[mxuC-10]",
+    "test_engine_fused_vmaf",
+    "test_static_scene_zero_motion",
+    "test_full_subscores_interpret_matches_jnp",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "quick: fast dev-gate subset")
+    config.addinivalue_line("markers", "slow: >20s on the dev host")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in _SLOW:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():

@@ -986,9 +986,11 @@ def default_batch(width: int, height: int) -> int:
     """Pick a frame batch size that keeps the device busy without blowing HBM.
 
     The fused Pallas pipeline's working set is ~160 bytes/pixel per frame
-    pair (padded linear planes + pyramid + XLA slack); measured throughput
-    is flat beyond batch ~8, so cap there and keep a ~4 GiB budget.
+    pair (padded linear planes + pyramid + XLA slack).  Measured on the
+    v5e at 1080p (docs/PERFORMANCE.md round-3 final): batch 24 is fastest
+    (787 fps vs 778 at b16, 756 at b8), so cap at 24 inside an 8 GiB
+    budget (b24 at 1080p ~7.5 GiB; 16 GiB HBM on a v5e chip).
     """
     per_pair = 160 * width * height
-    budget = 4 << 30
-    return int(np.clip(budget // max(per_pair, 1), 1, 8))
+    budget = 8 << 30
+    return int(np.clip(budget // max(per_pair, 1), 1, 24))

@@ -52,6 +52,14 @@ from turbo_metrics_tpu.ops.pallas.scale_stats import (
 _WT_CHUNK = 128
 _WT_WIN = 144  # fits radius-8 (17-tap) windows exactly: 127 + 8 + 8 + 1
 
+# Chunked Toeplitz bands (round-3 scale_stats discovery, exact at HIGHEST):
+# H (16, 32) instead of (tile_h, tile_h+16); W (64, 80) instead of
+# (128, 144) — the radius-8 window exactly fills both (16+16=32, 64+8+8=80).
+# Fat paths selectable for A/B (H_CHUNK=0 / W_CHUNK=128).
+H_CHUNK = 16
+W_CHUNK = 64
+_W_WINS = {128: 144, 64: 80}
+
 
 def _band_wt(taps, chunk: int = _WT_CHUNK, win: int = _WT_WIN) -> np.ndarray:
     """Transposed-W-pass band matrix for an arbitrary odd window (the
@@ -228,17 +236,30 @@ def _vif_kernel(
     def blur_group(qs, hmat, wmat):
         nq = len(qs)
         pack = jnp.concatenate(qs, axis=1)  # (rows, nq*cols)
-        hp_ = doth(hmat[...], pack)  # (tile_h, nq*cols)
+        hm = hmat[...]
+        hch, hwin = hmat.shape
+        if hch < tile_h:
+            # Chunked Toeplitz H window (see windowed.py H_CHUNK).
+            hcs = []
+            for ci in range(tile_h // hch):
+                s = ci * hch
+                hcs.append(
+                    doth(hm, jax.lax.slice(pack, (s, 0), (s + hwin, nq * cols)))
+                )
+            hp_ = jnp.concatenate(hcs, axis=0)  # (tile_h, nq*cols)
+        else:
+            hp_ = doth(hm, pack)  # (tile_h, nq*cols)
         segs = [
             jax.lax.slice(hp_, (0, i * cols), (tile_h, (i + 1) * cols))
             for i in range(nq)
         ]
         pt = jnp.concatenate(segs, axis=0).T  # (cols, nq*tile_h)
         wm = wmat[...]
+        wch, wwin = wmat.shape
         chunks = []
-        for j in range(tile_w // _WT_CHUNK):
-            s = j * _WT_CHUNK + COL_HALO4 - 8
-            win = jax.lax.slice(pt, (s, 0), (s + _WT_WIN, nq * tile_h))
+        for j in range(tile_w // wch):
+            s = j * wch + COL_HALO4 - 8
+            win = jax.lax.slice(pt, (s, 0), (s + wwin, nq * tile_h))
             chunks.append(doth(wm, win))
         wt_nat = jnp.concatenate(chunks, axis=0).T  # (nq*tile_h, tile_w)
         return [
@@ -336,14 +357,21 @@ def _vif_scale_pallas(
 
     taps_a = tuple(float(t) for t in vif_window(scale))
     r_a = _RADII[scale]
-    hmat_a = _band_matrix_h(tile_h, rows, taps_a, ROW_HALO4 - r_a)
-    wmat_a = _band_wt(taps_a)
+    hch = H_CHUNK if (H_CHUNK and tile_h % H_CHUNK == 0 and tile_h > H_CHUNK) else 0
+
+    def _h_band(taps, r):
+        if hch:
+            return _band_matrix_h(hch, hch + 2 * ROW_HALO4, taps, ROW_HALO4 - r)
+        return _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - r)
+
+    hmat_a = _h_band(taps_a, r_a)
+    wmat_a = _band_wt(taps_a, W_CHUNK, _W_WINS[W_CHUNK])
 
     inputs = [q12, jnp.asarray(hmat_a), jnp.asarray(wmat_a)]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)),
-        pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0)),
+        pl.BlockSpec(hmat_a.shape, lambda p, th, tw: (0, 0)),
+        pl.BlockSpec(wmat_a.shape, lambda p, th, tw: (0, 0)),
     ]
     out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
     out_specs = [
@@ -358,11 +386,11 @@ def _vif_scale_pallas(
     if emit_ds:
         taps_b = tuple(float(t) for t in vif_window(scale + 1))
         r_b = _RADII[scale + 1]
-        hmat_b = _band_matrix_h(tile_h, rows, taps_b, ROW_HALO4 - r_b)
-        wmat_b = _band_wt(taps_b)
-        in_specs.insert(3, pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)))
+        hmat_b = _h_band(taps_b, r_b)
+        wmat_b = _band_wt(taps_b, W_CHUNK, _W_WINS[W_CHUNK])
+        in_specs.insert(3, pl.BlockSpec(hmat_b.shape, lambda p, th, tw: (0, 0)))
         in_specs.insert(
-            4, pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0))
+            4, pl.BlockSpec(wmat_b.shape, lambda p, th, tw: (0, 0))
         )
         inputs.insert(3, jnp.asarray(hmat_b))
         inputs.insert(4, jnp.asarray(wmat_b))

@@ -55,6 +55,17 @@ RADIUS = 5  # gaussian_window(11, 1.5)
 _C1 = np.float32((0.01 * 255.0) ** 2)
 _C2 = np.float32((0.03 * 255.0) ** 2)
 
+# Chunked Toeplitz blur bands (round-3 discovery, scale_stats.py): the band
+# matrices are Toeplitz, so one tiny window matrix serves every output
+# chunk with the same nonzero terms as the fat band at a fraction of its
+# MACs — H: (16, 32) instead of (tile_h, tile_h+16) = 60% fewer MACs at
+# tile_h 64; W: (64, 80) instead of (128, 144) = 45% fewer.  Exact: the
+# windows contain identical terms (HIGHEST f32 matmuls; sums reorder at
+# ~1e-7 rel).  Fat paths stay selectable for A/B (h_chunk=0 / w_chunk=128).
+H_CHUNK = 16
+W_CHUNK = 64
+_W_WINS = {128: _WT_WIN, 64: 80, 32: 48}
+
 
 def _emit_halfpool_tiles(
     ds_ref, ds_store, ds_sems, get_plane, *,
@@ -119,8 +130,8 @@ def _ssim_kernel(
 ):
     it = iter(refs)
     q12_hbm = next(it)  # (2, B, 3, hp, wp) f32 code values
-    hmat = next(it)  # (tile_h, rows) f32 band
-    wmat = next(it)  # (WT_CHUNK, WT_WIN) f32 band
+    hmat = next(it)  # (tile_h, rows) fat or (H_CHUNK, H_CHUNK+16) band
+    wmat = next(it)  # (chunk, win) transposed-W band
     if emit_ds:
         _z = next(it)  # zeros-aliased ds buffer (consumed via the output)
     out_ref = next(it)  # (1, 1, 1, 8, 8) per-tile sums block
@@ -212,7 +223,20 @@ def _ssim_kernel(
         qs += [a, b, a * a + b * b, a * b]
 
     pack = jnp.concatenate(qs, axis=1)  # (rows, 12*cols)
-    hp_ = doth(hmat[...], pack)  # (tile_h, 12*cols)
+    hmatf = hmat[...]
+    hch, hwin = hmat.shape
+    if hch < tile_h:
+        # Chunked Toeplitz H pass: one (hch, hch+16) window serves every
+        # output-row chunk (same nonzero terms as the fat band).
+        hcs = []
+        for ci in range(tile_h // hch):
+            s = ci * hch
+            hcs.append(
+                doth(hmatf, jax.lax.slice(pack, (s, 0), (s + hwin, 12 * cols)))
+            )
+        hp_ = jnp.concatenate(hcs, axis=0)  # (tile_h, 12*cols)
+    else:
+        hp_ = doth(hmatf, pack)  # (tile_h, 12*cols)
     segs = [
         jax.lax.slice(hp_, (0, i * cols), (tile_h, (i + 1) * cols))
         for i in range(12)
@@ -220,10 +244,11 @@ def _ssim_kernel(
     pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*tile_h)
     nq = 12 * tile_h
     wmatf = wmat[...]
+    wch, wwin = wmat.shape
     chunks = []
-    for j in range(tile_w // _WT_CHUNK):
-        s = j * _WT_CHUNK + COL_HALO4 - 8
-        win = jax.lax.slice(pt, (s, 0), (s + _WT_WIN, nq))
+    for j in range(tile_w // wch):
+        s = j * wch + COL_HALO4 - 8
+        win = jax.lax.slice(pt, (s, 0), (s + wwin, nq))
         chunks.append(doth(wmatf, win))
     wt_nat = jnp.concatenate(chunks, axis=0).T  # (12*tile_h, tile_w)
 
@@ -262,7 +287,8 @@ def _ssim_kernel(
 
 def ssim_sums_pallas(
     q12: jax.Array, h: int, w: int, *, emit_ds: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, h_chunk: int | None = None,
+    w_chunk: int | None = None,
 ):
     """Per-channel (sum(luminance*cs), sum(cs)) over the valid grid.
 
@@ -286,14 +312,20 @@ def ssim_sums_pallas(
     cols = tile_w + 2 * COL_HALO4
     taps = tuple(float(t) for t in gaussian_window(11, 1.5))
 
-    hmat = _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)
-    wmat = _band_matrix_wt(taps)
+    hch = H_CHUNK if h_chunk is None else h_chunk
+    wch = W_CHUNK if w_chunk is None else w_chunk
+    if hch and tile_h % hch == 0 and tile_h > hch:
+        hmat = _band_matrix_h(hch, hch + 2 * ROW_HALO4, taps, ROW_HALO4 - RADIUS)
+    else:
+        hmat = _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)
+    wwin = _W_WINS[wch]
+    wmat = _band_matrix_wt(taps, wch, wwin)
 
     inputs = [q12, jnp.asarray(hmat), jnp.asarray(wmat)]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((tile_h, rows), lambda p, th, tw: (0, 0)),
-        pl.BlockSpec((_WT_CHUNK, _WT_WIN), lambda p, th, tw: (0, 0)),
+        pl.BlockSpec(hmat.shape, lambda p, th, tw: (0, 0)),
+        pl.BlockSpec(wmat.shape, lambda p, th, tw: (0, 0)),
     ]
     out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
     out_specs = [

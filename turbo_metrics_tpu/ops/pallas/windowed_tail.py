@@ -144,16 +144,31 @@ def _msssim_tail_kernel(
                 b = jax.lax.slice(b3, (c, 0, 0), (c + 1, _TH + 16, cols))[0]
                 qs += [a, b, a * a + b * b, a * b]
             pack = jnp.concatenate(qs, axis=1)  # (80, 12*cols)
-            hp_ = doth(hmat, pack)  # (64, 12*cols)
+            hch, hwin = hmat.shape
+            if hch < _TH:
+                # Chunked Toeplitz H window (see windowed.py H_CHUNK).
+                hcs = []
+                for ci in range(_TH // hch):
+                    s = ci * hch
+                    hcs.append(
+                        doth(
+                            hmat,
+                            jax.lax.slice(pack, (s, 0), (s + hwin, 12 * cols)),
+                        )
+                    )
+                hp_ = jnp.concatenate(hcs, axis=0)  # (64, 12*cols)
+            else:
+                hp_ = doth(hmat, pack)  # (64, 12*cols)
             segs = [
                 jax.lax.slice(hp_, (0, i * cols), (_TH, (i + 1) * cols))
                 for i in range(12)
             ]
             pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*64)
+            wch, wwin = wmat.shape
             chunks = []
-            for q in range(nc):
-                s = q * _WT_CHUNK + COL_HALO4 - 8
-                win = jax.lax.slice(pt, (s, 0), (s + _WT_WIN, 12 * _TH))
+            for q in range(wpad // wch):
+                s = q * wch + COL_HALO4 - 8
+                win = jax.lax.slice(pt, (s, 0), (s + wwin, 12 * _TH))
                 chunks.append(doth(wmat, win))
             wt = jnp.concatenate(chunks, axis=0).T  # (12*64, wpad)
 
@@ -240,7 +255,16 @@ def msssim_tail_pallas(
     cols1 = COL_HALO4 + dims[0][2] + COL_HALO4
 
     taps = tuple(float(t) for t in gaussian_window(11, 1.5))
-    hmat = _band_matrix_h(_TH, _TH + 16, taps, ROW_HALO4 - RADIUS)
+    from turbo_metrics_tpu.ops.pallas import windowed as _wd
+
+    hch = _wd.H_CHUNK if _wd.H_CHUNK and _TH % _wd.H_CHUNK == 0 else _TH
+    hmat = _band_matrix_h(
+        min(hch, _TH), min(hch, _TH) + 16, taps, ROW_HALO4 - RADIUS
+    )
+    # W stays at the 128-chunk band here: the tail is ONE unrolled program
+    # (levels x tiles x chunks); 64-chunks doubled its matmul count and blew
+    # Mosaic's register allocator (207 MB of spill slots, compile failure
+    # on chip) — measured, do not inherit windowed.W_CHUNK.
     wmat = _band_matrix_wt(taps)
 
     scratch = [
