@@ -160,7 +160,8 @@ def default_backend() -> str:
 
 
 def adm_stats(
-    y_ref: jax.Array, y_dis: jax.Array, *, backend: str | None = None
+    y_ref: jax.Array, y_dis: jax.Array, *, backend: str | None = None,
+    integer: bool = False, depth: int = 8,
 ) -> jax.Array:
     """Per-scale, per-band centre-region cube sums for (B, H, W) f32 luma.
 
@@ -171,7 +172,16 @@ def adm_stats(
     faster than the kernels on TPU, see default_backend), 'pallas' (fused
     DWT/mask kernels, kept opt-in), 'interpret' (Pallas interpreter, for
     CPU testing).
+
+    ``integer=True`` selects the fixed-point path matching libvmaf's
+    default integer-ADM conventions (ops/integer_adm.py; inputs are then
+    integer code values at ``depth`` bits) — an opt-in fidelity mode,
+    bit-exact at the band/angle-gate level vs refimpl/integer_adm.py.
     """
+    if integer:
+        from turbo_metrics_tpu.ops.integer_adm import integer_adm_stats
+
+        return integer_adm_stats(y_ref, y_dis, depth=depth)
     if backend is None:
         backend = default_backend()
     h, w = y_ref.shape[-2], y_ref.shape[-1]

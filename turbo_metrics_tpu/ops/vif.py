@@ -66,7 +66,8 @@ def default_backend() -> str:
 
 
 def vif_scale_stats(
-    ref: jax.Array, dis: jax.Array, *, backend: str | None = None
+    ref: jax.Array, dis: jax.Array, *, backend: str | None = None,
+    integer: bool = False, depth: int = 8,
 ) -> jax.Array:
     """Per-scale (num, den) sums for (B, H, W) f32 luma in 8-bit units.
 
@@ -75,7 +76,16 @@ def vif_scale_stats(
     ``backend``: 'pallas' (fused megakernel, TPU default), 'jnp' (the
     XLA-fused slice-FMA path, CPU default and small-image fallback), or
     'interpret' (Pallas interpreter, for CPU testing).
+
+    ``integer=True`` selects the fixed-point path matching libvmaf's
+    default integer-VIF conventions (ops/integer_vif.py; inputs are then
+    integer code values at ``depth`` bits) — an opt-in fidelity mode,
+    bit-exact at the statistics level vs refimpl/integer_vif.py.
     """
+    if integer:
+        from turbo_metrics_tpu.ops.integer_vif import integer_vif_stats
+
+        return integer_vif_stats(ref, dis, depth=depth)
     if backend is None:
         backend = default_backend()
     h, w = ref.shape[-2], ref.shape[-1]
