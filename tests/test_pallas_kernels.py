@@ -387,11 +387,16 @@ def test_vif_tail_matches_perscale(rng, hw):
         assert float(got[k][0]) == pytest.approx(want[k], rel=2e-4), k
 
 
-@pytest.mark.parametrize("hw_depth", [(96, 128, 8), (161, 300, 8), (96, 1100, 10)])
+@pytest.mark.parametrize(
+    "hw_depth",
+    [(96, 128, 8), (161, 300, 8), (96, 1100, 10), (64, 3840, 10)],
+)
 def test_xpsnr_pallas_bit_exact(rng, hw_depth):
     """Fused Pallas XPSNR block stats are bit-exact vs the jnp path
     (separable highpass decomposition + exact f32 block sums, hi/lo SSE
-    limbs above 8-bit)."""
+    limbs above 8-bit).  The (64, 3840, 10) case pins the BASELINE
+    config-4 tile geometry (XPSNR on 4K 10-bit; docs/PERFORMANCE.md
+    "Round-4 campaign") at the full 3840 width."""
     from turbo_metrics_tpu.ops.xpsnr_ops import xpsnr_block_stats
 
     h, w, depth = hw_depth
