@@ -174,3 +174,28 @@ def test_integer_adm_close_to_float_path():
     ai = float(adm_score(int_stats, 96, 128)["adm2"])
     af = float(adm_score(flt_stats, 96, 128)["adm2"])
     assert abs(ai - af) < 2e-2, (ai, af)
+
+
+def test_engine_vmaf_integer_matches_oracle():
+    """TurboMetrics(vmaf_integer=True) routes VIF/ADM through the integer
+    paths: per-frame features must match the integer refimpl oracles."""
+    from turbo_metrics_tpu.color.characteristics import ColorCharacteristics
+    from turbo_metrics_tpu.engine import Metrics, TurboMetrics
+    from turbo_metrics_tpu.io.frame_source import RawFrame
+
+    h, w = 96, 128
+    rng = np.random.default_rng(11)
+    refs, diss = [], []
+    for i in range(2):
+        y, yd = _pair(h, w, seed=20 + i)
+        uv = rng.integers(100, 156, (h // 2, w // 2, 2), dtype=np.uint8)
+        refs.append(RawFrame(y=y, uv=uv, depth=8, full_range=False))
+        diss.append(RawFrame(y=yd, uv=uv, depth=8, full_range=False))
+    cc = (ColorCharacteristics.from_code_points(1, 1, 1), "limited")
+    eng = TurboMetrics(w, h, Metrics(vmaf=True), batch=2, vmaf_integer=True)
+    scores = eng.compute_frames(refs, cc, diss, cc)
+    for i, s in enumerate(scores):
+        want_v = integer_vif_frame(refs[i].y, diss[i].y)
+        want_a = integer_adm_frame(refs[i].y, diss[i].y)
+        assert s.vmaf_vif == pytest.approx(want_v["vif"], rel=2e-5, abs=2e-5)
+        assert s.vmaf_adm == pytest.approx(want_a["adm2"], rel=5e-4, abs=5e-4)

@@ -99,6 +99,15 @@ def build_parser() -> argparse.ArgumentParser:
             "elementary features only."
         ),
     )
+    p.add_argument(
+        "--vmaf-integer",
+        action="store_true",
+        help=(
+            "compute the VMAF VIF/ADM features with the fixed-point "
+            "(integer) conventions — libvmaf's default path — instead of "
+            "the float pipeline (see README 'Feature fidelity notes')."
+        ),
+    )
     return p
 
 
@@ -218,6 +227,7 @@ def main(argv: list[str] | None = None) -> int:
             metrics,
             batch=batch,
             vmaf_model=vmaf_model,
+            vmaf_integer=args.vmaf_integer,
         )
 
     try:

@@ -398,6 +398,7 @@ class TurboMetrics:
         batch: int | None = None,
         vmaf_model=None,
         mesh=None,
+        vmaf_integer: bool = False,
     ):
         if not metrics.any():
             raise ValueError("at least one metric must be selected")
@@ -412,6 +413,9 @@ class TurboMetrics:
             # Round the batch up so every chip gets equal frames per step.
             self.batch = -(-self.batch // self._mesh_size) * self._mesh_size
         self.num_scales = len(scale_dims(self.height, self.width))
+        # Fixed-point VIF/ADM (libvmaf's default integer conventions;
+        # ops/integer_vif.py, ops/integer_adm.py) instead of the float path.
+        self.vmaf_integer = bool(vmaf_integer)
         self._step_cache: dict = {}
         self._prev_ref: Optional[np.ndarray] = None  # XPSNR temporal state
         self._vmaf_prev_blur: Optional[np.ndarray] = None  # motion state
@@ -459,6 +463,7 @@ class TurboMetrics:
         if fn is None:
             metrics = self.metrics
             num_scales = self.num_scales
+            vmaf_integer = self.vmaf_integer
 
             only_s2 = metrics.ssimulacra2 and not (
                 metrics.psnr
@@ -666,16 +671,28 @@ class TurboMetrics:
                         spec_dis.depth,
                         spec_ref.depth,
                     )
-                    # VIF runs on luma in 8-bit units.
-                    scale8 = np.float32(255.0 / ((1 << spec_ref.depth) - 1))
-                    out["vif_stats"] = vif_scale_stats(
-                        y_ref.astype(jnp.float32) * scale8,
-                        y_dis.astype(jnp.float32) * scale8,
-                    )
-                    out["adm_stats"] = adm_stats(
-                        y_ref.astype(jnp.float32) * scale8,
-                        y_dis.astype(jnp.float32) * scale8,
-                    )
+                    if vmaf_integer:
+                        # Fixed-point path (libvmaf default conventions):
+                        # integer code values in, depth handled internally.
+                        out["vif_stats"] = vif_scale_stats(
+                            y_ref, y_dis, integer=True, depth=spec_ref.depth
+                        )
+                        out["adm_stats"] = adm_stats(
+                            y_ref, y_dis, integer=True, depth=spec_ref.depth
+                        )
+                    else:
+                        # VIF runs on luma in 8-bit units.
+                        scale8 = np.float32(
+                            255.0 / ((1 << spec_ref.depth) - 1)
+                        )
+                        out["vif_stats"] = vif_scale_stats(
+                            y_ref.astype(jnp.float32) * scale8,
+                            y_dis.astype(jnp.float32) * scale8,
+                        )
+                        out["adm_stats"] = adm_stats(
+                            y_ref.astype(jnp.float32) * scale8,
+                            y_dis.astype(jnp.float32) * scale8,
+                        )
                     blurred = integer_blur(y_ref, depth=spec_ref.depth)
                     prev_blur = aux["vmaf_prev_blur"]
                     if axis_name is not None:
