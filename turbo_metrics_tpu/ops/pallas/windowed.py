@@ -58,11 +58,13 @@ _C2 = np.float32((0.03 * 255.0) ** 2)
 # Chunked Toeplitz blur bands (round-3 discovery, scale_stats.py): the band
 # matrices are Toeplitz, so one tiny window matrix serves every output
 # chunk with the same nonzero terms as the fat band at a fraction of its
-# MACs — H: (16, 32) instead of (tile_h, tile_h+16) = 60% fewer MACs at
-# tile_h 64; W: (64, 80) instead of (128, 144) = 45% fewer.  Exact: the
-# windows contain identical terms (HIGHEST f32 matmuls; sums reorder at
-# ~1e-7 rel).  Fat paths stay selectable for A/B (h_chunk=0 / w_chunk=128).
-H_CHUNK = 16
+# MACs — H: (32, 48) instead of (tile_h, tile_h+16); W: (64, 80) instead
+# of (128, 144) = 45% fewer.  Exact: the windows contain identical terms
+# (HIGHEST f32 matmuls; sums reorder at ~1e-7 rel).  On-chip sweep at
+# 1080p b8 (job 107, identical scores): SSIM 8.76 (h16/w128) -> 7.16
+# (h16/w64) -> 6.98 (h32/w64); MS-SSIM 14.47 -> 12.92.  h32/w64 is the
+# default; fat paths stay selectable for A/B (h_chunk=0 / w_chunk=128).
+H_CHUNK = 32
 W_CHUNK = 64
 _W_WINS = {128: _WT_WIN, 64: 80, 32: 48}
 
