@@ -59,6 +59,23 @@ def test_msssim_matches_oracle(rng, hw, noise):
     assert 0.0 < want <= 1.0
 
 
+@pytest.mark.parametrize("backend", ["jnp", "interpret"])
+def test_ssim_msssim_shared_pass_matches_separate(rng, backend):
+    """ssim_msssim (one shared level-0 windowed pass — the engine's
+    multi-metric fast path) must reproduce the independently computed
+    ssim() and msssim() values exactly (same ops, same order)."""
+    a, b = _pair(rng, 3, 96, 128, 6.0)
+    a = a[None].astype(np.float32)
+    b = b[None].astype(np.float32)
+    s, ms = jax.jit(
+        lambda x, y: quality.ssim_msssim(x, y, backend=backend)
+    )(a, b)
+    s_ref = jax.jit(lambda x, y: quality.ssim(x, y, backend=backend))(a, b)
+    ms_ref = jax.jit(lambda x, y: quality.msssim(x, y, backend=backend))(a, b)
+    assert float(s[0]) == pytest.approx(float(s_ref[0]), abs=1e-7)
+    assert float(ms[0]) == pytest.approx(float(ms_ref[0]), abs=1e-7)
+
+
 def test_identical_pairs():
     a = np.random.default_rng(0).uniform(0, 255, (1, 3, 64, 64)).astype(np.float32)
     assert np.isinf(float(jax.jit(quality.psnr)(a, a)[0]))

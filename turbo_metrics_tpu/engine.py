@@ -639,9 +639,15 @@ class TurboMetrics:
                     q_dis = jnp.clip(jnp.round(lin_dis * 255.0), 0.0, 255.0)
                     if metrics.psnr:
                         out["psnr"] = quality.psnr(q_ref, q_dis)
-                    if metrics.ssim:
+                    if metrics.ssim and metrics.msssim:
+                        # One shared level-0 windowed pass (MS-SSIM's
+                        # level 0 IS the SSIM index; ops/quality.py).
+                        out["ssim"], out["msssim"] = quality.ssim_msssim(
+                            q_ref, q_dis
+                        )
+                    elif metrics.ssim:
                         out["ssim"] = quality.ssim(q_ref, q_dis)
-                    if metrics.msssim:
+                    elif metrics.msssim:
                         out["msssim"] = quality.msssim(q_ref, q_dis)
                 if metrics.ssimulacra2:
                     out["ssimulacra2_subscores"] = ssimulacra2_subscores(

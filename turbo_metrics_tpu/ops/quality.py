@@ -113,13 +113,13 @@ def _downsample_2x2(x: jax.Array) -> jax.Array:
     return x.mean(axis=(-3, -1))
 
 
-def msssim(
-    a: jax.Array, b: jax.Array, *, levels: int = 5, backend: str = "auto"
-) -> jax.Array:
-    """Multi-scale SSIM (Wang 2003); (..., C, H, W) -> (...,).
+def _msssim_levels(a: jax.Array, b: jax.Array, levels: int, backend: str):
+    """Per-level (mean(luminance*cs), mean(cs)) plus the clamped weights.
 
     Levels are clamped so the 11x11 window still fits after downsampling
-    (min dim >= 11 * 2^(levels-1)); clamped weights are renormalised to sum 1.
+    (min dim >= 11 * 2^(levels-1)); clamped weights are renormalised to
+    sum 1.  Level 0's ml IS the single-scale SSIM index — the shared
+    substrate for :func:`msssim` and :func:`ssim_msssim`.
     """
     min_dim = min(a.shape[-2], a.shape[-1])
     fit = max(1, (min_dim // 11).bit_length())
@@ -127,34 +127,57 @@ def msssim(
     weights = MSSSIM_WEIGHTS[:levels]
     if levels < len(MSSSIM_WEIGHTS):
         weights = weights / weights.sum()
+    lead = a.shape[:-3]
     if _pallas_ok(a, backend):
         # Padded-chain MS-SSIM: each level's kernel emits the next level's
         # 2x2-mean input in-kernel (ops/pallas/windowed.py) — no jnp
         # pad/pool between levels.
         from turbo_metrics_tpu.ops.pallas.windowed import msssim_level_means
 
-        lead = a.shape[:-3]
         a4 = a.reshape((-1,) + a.shape[-3:])
         b4 = b.reshape((-1,) + b.shape[-3:])
         per_level = msssim_level_means(
             a4, b4, levels, interpret=backend == "interpret"
         )
-        result = None
-        for lvl, (ml, mcs) in enumerate(per_level):
-            base = ml if lvl == levels - 1 else mcs
-            term = jnp.power(
-                jnp.maximum(base.reshape(lead), 0.0), np.float32(weights[lvl])
-            )
-            result = term if result is None else result * term
-        return result
-    result = None
+        return [
+            (ml.reshape(lead), mcs.reshape(lead)) for ml, mcs in per_level
+        ], weights
+    per_level = []
     for lvl in range(levels):
-        ml, mcs = _level_means(a, b, backend)
-        if lvl == levels - 1:
-            term = jnp.power(jnp.maximum(ml, 0.0), np.float32(weights[lvl]))
-        else:
-            term = jnp.power(jnp.maximum(mcs, 0.0), np.float32(weights[lvl]))
+        per_level.append(_level_means(a, b, backend))
+        if lvl < levels - 1:
             a = _downsample_2x2(a)
             b = _downsample_2x2(b)
+    return per_level, weights
+
+
+def _msssim_combine(per_level, weights) -> jax.Array:
+    levels = len(per_level)
+    result = None
+    for lvl, (ml, mcs) in enumerate(per_level):
+        base = ml if lvl == levels - 1 else mcs
+        term = jnp.power(jnp.maximum(base, 0.0), np.float32(weights[lvl]))
         result = term if result is None else result * term
     return result
+
+
+def msssim(
+    a: jax.Array, b: jax.Array, *, levels: int = 5, backend: str = "auto"
+) -> jax.Array:
+    """Multi-scale SSIM (Wang 2003); (..., C, H, W) -> (...,)."""
+    return _msssim_combine(*_msssim_levels(a, b, levels, backend))
+
+
+def ssim_msssim(
+    a: jax.Array, b: jax.Array, *, levels: int = 5, backend: str = "auto"
+) -> tuple[jax.Array, jax.Array]:
+    """(SSIM, MS-SSIM) sharing one level-0 windowed pass.
+
+    MS-SSIM's level 0 computes exactly the windowed stats SSIM needs (the
+    same kernel; `emit_ds` only adds the half-pool DMA), so requesting
+    both metrics separately doubles the most expensive level for nothing —
+    ~7 ms/b8 of the multi-metric engine step at 1080p.  Values match
+    ``ssim(a, b)`` / ``msssim(a, b)`` computed independently.
+    """
+    per_level, weights = _msssim_levels(a, b, levels, backend)
+    return per_level[0][0], _msssim_combine(per_level, weights)
