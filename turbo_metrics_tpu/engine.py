@@ -279,6 +279,95 @@ def _luma_code(spec: ConvertSpec, arrays: tuple[jax.Array, ...]) -> jax.Array:
     return jnp.round(y).astype(jnp.int32)
 
 
+def _luma_metric_outs(
+    out: dict,
+    metrics: "Metrics",
+    spec_ref: ConvertSpec,
+    spec_dis: ConvertSpec,
+    ref_arrays,
+    dis_arrays,
+    aux,
+    *,
+    vmaf_integer: bool,
+    axis_name,
+) -> dict:
+    """XPSNR + VMAF-feature outputs (luma-code consumers), shared between
+    the generic step and the multi-metric padded fast path."""
+    if metrics.xpsnr:
+        from turbo_metrics_tpu.ops.xpsnr_ops import xpsnr_block_stats
+
+        y_ref = _luma_code(spec_ref, ref_arrays)
+        y_dis = _align_luma_depth(
+            _luma_code(spec_dis, dis_arrays),
+            spec_dis.depth,
+            spec_ref.depth,
+        )
+        y_prev = _luma_code(spec_ref, aux["prev_ref"])
+        out["xpsnr_stats"] = xpsnr_block_stats(
+            y_ref, y_dis, y_prev, depth=spec_ref.depth
+        )
+    if metrics.vmaf:
+        from turbo_metrics_tpu.ops.adm import adm_stats
+        from turbo_metrics_tpu.ops.vif import vif_scale_stats
+        from turbo_metrics_tpu.ops.vmaf_motion import integer_blur
+
+        y_ref = _luma_code(spec_ref, ref_arrays)
+        y_dis = _align_luma_depth(
+            _luma_code(spec_dis, dis_arrays),
+            spec_dis.depth,
+            spec_ref.depth,
+        )
+        if vmaf_integer:
+            # Fixed-point path (libvmaf default conventions):
+            # integer code values in, depth handled internally.
+            out["vif_stats"] = vif_scale_stats(
+                y_ref, y_dis, integer=True, depth=spec_ref.depth
+            )
+            out["adm_stats"] = adm_stats(
+                y_ref, y_dis, integer=True, depth=spec_ref.depth
+            )
+        else:
+            # VIF runs on luma in 8-bit units.
+            scale8 = np.float32(255.0 / ((1 << spec_ref.depth) - 1))
+            out["vif_stats"] = vif_scale_stats(
+                y_ref.astype(jnp.float32) * scale8,
+                y_dis.astype(jnp.float32) * scale8,
+            )
+            out["adm_stats"] = adm_stats(
+                y_ref.astype(jnp.float32) * scale8,
+                y_dis.astype(jnp.float32) * scale8,
+            )
+        blurred = integer_blur(y_ref, depth=spec_ref.depth)
+        prev_blur = aux["vmaf_prev_blur"]
+        if axis_name is not None:
+            # Sharded batch: each shard's first frame diffs against the
+            # PREVIOUS shard's last blurred frame — one ppermute over ICI;
+            # shard 0 uses the streaming state (the previous batch's
+            # global last frame).
+            last32 = blurred[-1].astype(jnp.int32)
+            n = jax.lax.axis_size(axis_name)
+            left_last = jax.lax.ppermute(
+                last32, axis_name, [(i, i + 1) for i in range(n - 1)]
+            )
+            idx = jax.lax.axis_index(axis_name)
+            prev0 = jnp.where(
+                idx == 0, prev_blur.astype(jnp.int32), left_last
+            )
+            prev_seq = jnp.concatenate(
+                [prev0[None], blurred[:-1].astype(jnp.int32)], axis=0
+            )
+        else:
+            prev_seq = jnp.concatenate(
+                [prev_blur[None], blurred[:-1]], axis=0
+            ).astype(jnp.int32)
+        diff = jnp.abs(blurred.astype(jnp.int32) - prev_seq).astype(jnp.uint32)
+        out["vmaf_sad_rows"] = diff.sum(axis=-1, dtype=jnp.uint32)
+        # (1, H, W) so sharded runs concatenate per-shard lasts; the host
+        # takes the global last ([-1]).
+        out["vmaf_last_blur"] = blurred[-1:]
+    return out
+
+
 class _VmafFuser:
     """Streams FrameScores through the fusion model with one frame of
     holdback: libvmaf's 'motion2' feature for frame i is
@@ -476,22 +565,15 @@ class TurboMetrics:
                 padded_conversion_fits,
             )
 
-            if (
-                only_s2
-                and spec_ref.kind == "yuv420"
+            can_padded = (
+                spec_ref.kind == "yuv420"
                 and spec_dis.kind == "yuv420"
                 and spec_ref.chroma == 420
                 and spec_dis.chroma == 420
                 and jax.default_backend() == "tpu"
                 and padded_conversion_fits(self.height, self.width)
-            ):
-                # Zero-copy fast path: conversion writes the padded-chain
-                # layout directly, each pyramid level emits the next level's
-                # input in-kernel — no pad/slice copies, no separate
-                # downscale kernels (docs/PERFORMANCE.md round 2).
-                from turbo_metrics_tpu.models.ssimulacra2 import (
-                    ssimulacra2_subscores_from_padded,
-                )
+            )
+            if can_padded:
                 from turbo_metrics_tpu.ops.pallas.convert import (
                     yuv420_pair_to_linear_rgb_padded,
                     yuv420_to_linear_rgb_padded,
@@ -527,6 +609,14 @@ class TurboMetrics:
                         full_range=spec_dis.full_range,
                     )
 
+            if only_s2 and can_padded:
+                # Zero-copy fast path: conversion writes the padded-chain
+                # layout directly, each pyramid level emits the next level's
+                # input in-kernel — no pad/slice copies, no separate
+                # downscale kernels (docs/PERFORMANCE.md round 2).
+                from turbo_metrics_tpu.models.ssimulacra2 import (
+                    ssimulacra2_subscores_from_padded,
+                )
                 from turbo_metrics_tpu.ops.pallas.scale_stats import (
                     fused_yuv_ok,
                 )
@@ -626,6 +716,76 @@ class TurboMetrics:
                 self._step_cache[key] = fn
                 return fn
 
+            wants_rgb = (
+                metrics.psnr or metrics.ssim or metrics.msssim
+                or metrics.ssimulacra2
+            )
+            windowed_fits = not (
+                (metrics.ssim or metrics.msssim)
+                and min(self.height, self.width) < 11
+            )
+            if can_padded and wants_rgb and windowed_fits and self.mesh is None:
+                # Multi-metric padded fast path: ONE fused conversion pass
+                # writes the padded-chain linear-RGB buffer, and every
+                # RGB-consuming family reads it directly — SSIMULACRA2 via
+                # the padded chain (donated ds buffers threaded through
+                # steps), SSIM/MS-SSIM via in-kernel 8-bit quantization,
+                # PSNR as a quantize+SSD expression XLA fuses over the
+                # buffer.  Kills the generic path's per-family HBM
+                # materialisations (linear RGB pair, quantized pair, and a
+                # pad_to_layout4 copy per windowed metric).
+                from turbo_metrics_tpu.models.ssimulacra2 import (
+                    ds_buffer_shapes,
+                    ssimulacra2_subscores_from_padded,
+                )
+                from turbo_metrics_tpu.ops.pallas.scale_stats import (
+                    pad_geom4,
+                )
+
+                def padded_multi_step(ref_arrays, dis_arrays, aux, bufs):
+                    top_buf, ds_bufs = bufs
+                    p12 = convert(ref_arrays, dis_arrays, top_buf)
+                    out = quality.quality_from_padded(
+                        p12, height, width,
+                        want_psnr=metrics.psnr,
+                        want_ssim=metrics.ssim,
+                        want_msssim=metrics.msssim,
+                    )
+                    ds_out = []
+                    if metrics.ssimulacra2:
+                        out["ssimulacra2_subscores"], ds_out = (
+                            ssimulacra2_subscores_from_padded(
+                                p12, height, width,
+                                num_scales=num_scales, ds_bufs=ds_bufs,
+                            )
+                        )
+                    _luma_metric_outs(
+                        out, metrics, spec_ref, spec_dis,
+                        ref_arrays, dis_arrays, aux,
+                        vmaf_integer=vmaf_integer, axis_name=None,
+                    )
+                    return out, (p12, ds_out)
+
+                jfn = jax.jit(padded_multi_step, donate_argnums=(3,))
+                _, _, _, _, hp, wp = pad_geom4(height, width)
+
+                def make_bufs(bsz):
+                    ds = (
+                        [
+                            jnp.zeros(s, jnp.float32)
+                            for s in ds_buffer_shapes(
+                                height, width, bsz, num_scales=num_scales
+                            )
+                        ]
+                        if metrics.ssimulacra2
+                        else []
+                    )
+                    return (jnp.zeros((2, bsz, 3, hp, wp), jnp.float32), ds)
+
+                fn = _BufferedStep(jfn, make_bufs)
+                self._step_cache[key] = fn
+                return fn
+
             axis_name = self.mesh.axis_names[0] if self.mesh is not None else None
 
             def step(ref_arrays, dis_arrays, aux):
@@ -653,82 +813,11 @@ class TurboMetrics:
                     out["ssimulacra2_subscores"] = ssimulacra2_subscores(
                         lin_ref, lin_dis, num_scales=num_scales
                     )
-                if metrics.xpsnr:
-                    from turbo_metrics_tpu.ops.xpsnr_ops import xpsnr_block_stats
-
-                    y_ref = _luma_code(spec_ref, ref_arrays)
-                    y_dis = _align_luma_depth(
-                        _luma_code(spec_dis, dis_arrays),
-                        spec_dis.depth,
-                        spec_ref.depth,
-                    )
-                    y_prev = _luma_code(spec_ref, aux["prev_ref"])
-                    out["xpsnr_stats"] = xpsnr_block_stats(
-                        y_ref, y_dis, y_prev, depth=spec_ref.depth
-                    )
-                if metrics.vmaf:
-                    from turbo_metrics_tpu.ops.adm import adm_stats
-                    from turbo_metrics_tpu.ops.vif import vif_scale_stats
-                    from turbo_metrics_tpu.ops.vmaf_motion import integer_blur
-
-                    y_ref = _luma_code(spec_ref, ref_arrays)
-                    y_dis = _align_luma_depth(
-                        _luma_code(spec_dis, dis_arrays),
-                        spec_dis.depth,
-                        spec_ref.depth,
-                    )
-                    if vmaf_integer:
-                        # Fixed-point path (libvmaf default conventions):
-                        # integer code values in, depth handled internally.
-                        out["vif_stats"] = vif_scale_stats(
-                            y_ref, y_dis, integer=True, depth=spec_ref.depth
-                        )
-                        out["adm_stats"] = adm_stats(
-                            y_ref, y_dis, integer=True, depth=spec_ref.depth
-                        )
-                    else:
-                        # VIF runs on luma in 8-bit units.
-                        scale8 = np.float32(
-                            255.0 / ((1 << spec_ref.depth) - 1)
-                        )
-                        out["vif_stats"] = vif_scale_stats(
-                            y_ref.astype(jnp.float32) * scale8,
-                            y_dis.astype(jnp.float32) * scale8,
-                        )
-                        out["adm_stats"] = adm_stats(
-                            y_ref.astype(jnp.float32) * scale8,
-                            y_dis.astype(jnp.float32) * scale8,
-                        )
-                    blurred = integer_blur(y_ref, depth=spec_ref.depth)
-                    prev_blur = aux["vmaf_prev_blur"]
-                    if axis_name is not None:
-                        # Sharded batch: each shard's first frame diffs
-                        # against the PREVIOUS shard's last blurred frame —
-                        # one ppermute over ICI; shard 0 uses the streaming
-                        # state (the previous batch's global last frame).
-                        last32 = blurred[-1].astype(jnp.int32)
-                        n = jax.lax.axis_size(axis_name)
-                        left_last = jax.lax.ppermute(
-                            last32, axis_name, [(i, i + 1) for i in range(n - 1)]
-                        )
-                        idx = jax.lax.axis_index(axis_name)
-                        prev0 = jnp.where(
-                            idx == 0, prev_blur.astype(jnp.int32), left_last
-                        )
-                        prev_seq = jnp.concatenate(
-                            [prev0[None], blurred[:-1].astype(jnp.int32)], axis=0
-                        )
-                    else:
-                        prev_seq = jnp.concatenate(
-                            [prev_blur[None], blurred[:-1]], axis=0
-                        ).astype(jnp.int32)
-                    diff = jnp.abs(
-                        blurred.astype(jnp.int32) - prev_seq
-                    ).astype(jnp.uint32)
-                    out["vmaf_sad_rows"] = diff.sum(axis=-1, dtype=jnp.uint32)
-                    # (1, H, W) so sharded runs concatenate per-shard lasts;
-                    # the host takes the global last ([-1]).
-                    out["vmaf_last_blur"] = blurred[-1:]
+                _luma_metric_outs(
+                    out, metrics, spec_ref, spec_dis,
+                    ref_arrays, dis_arrays, aux,
+                    vmaf_integer=vmaf_integer, axis_name=axis_name,
+                )
                 return out
 
             fn = jax.jit(self._shard(step))

@@ -129,6 +129,7 @@ def _ssim_kernel(
     ntw: int,
     bsz: int,
     emit_ds: bool,
+    quantize: bool,
 ):
     it = iter(refs)
     q12_hbm = next(it)  # (2, B, 3, hp, wp) f32 code values
@@ -190,6 +191,14 @@ def _ssim_kernel(
     d2.wait()
     a3 = t1[slot]  # (3, rows, cols)
     b3 = t2[slot]
+    if quantize:
+        # In-kernel 8-bit quantization of linear RGB in [0, 1] (the
+        # engine's multi-metric padded fast path feeds the conversion
+        # kernel's output directly): identical to ops/quality.py's
+        # clip(round(lin*255)) staging pass, without materialising the
+        # quantized pair in HBM.  Zero halos stay exactly zero.
+        a3 = jnp.clip(jnp.round(a3 * np.float32(255.0)), 0.0, 255.0)
+        b3 = jnp.clip(jnp.round(b3 * np.float32(255.0)), 0.0, 255.0)
 
     row0 = pl.multiple_of(th * tile_h, 8)
     col0 = pl.multiple_of(tw * tile_w, 128)
@@ -290,11 +299,13 @@ def _ssim_kernel(
 def ssim_sums_pallas(
     q12: jax.Array, h: int, w: int, *, emit_ds: bool = False,
     interpret: bool = False, h_chunk: int | None = None,
-    w_chunk: int | None = None,
+    w_chunk: int | None = None, quantize: bool = False,
 ):
     """Per-channel (sum(luminance*cs), sum(cs)) over the valid grid.
 
-    ``q12``: (2, B, 3, hp, wp) padded code values (pad_to_layout4 layout).
+    ``q12``: (2, B, 3, hp, wp) padded code values (pad_to_layout4 layout);
+    with ``quantize``, padded LINEAR RGB in [0, 1] instead — quantized to
+    8-bit code values in-kernel (the multi-metric padded fast path).
     Returns ((B, 3, 2) f32 sums, ds12) where ds12 is the next MS-SSIM
     level's (2, B, 3, hp2, wp2) padded input (2x2-mean, odd dims
     truncated) when ``emit_ds``, else None.  The valid-position count is
@@ -361,7 +372,7 @@ def ssim_sums_pallas(
     kernel = functools.partial(
         _ssim_kernel,
         h=h, w=w, tile_h=tile_h, tile_w=tile_w,
-        nth=nth, ntw=ntw, bsz=bsz, emit_ds=emit_ds,
+        nth=nth, ntw=ntw, bsz=bsz, emit_ds=emit_ds, quantize=quantize,
     )
     outs = pl.pallas_call(
         kernel,
@@ -401,7 +412,20 @@ def ssim_level(
     """
     h, w = a.shape[-2], a.shape[-1]
     q12 = pad_to_layout4(jnp.stack([a, b]), h, w)
-    sums, _ = ssim_sums_pallas(q12, h, w, interpret=interpret)
+    return ssim_level_padded(q12, h, w, interpret=interpret)
+
+
+def ssim_level_padded(
+    q12: jax.Array, h: int, w: int, *, quantize: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """ssim_level on an already-padded (2, B, 3, hp, wp) buffer — the
+    engine's multi-metric fast path consumes the fused conversion kernel's
+    output directly (``quantize``: linear RGB in, 8-bit quantization
+    in-kernel)."""
+    sums, _ = ssim_sums_pallas(
+        q12, h, w, interpret=interpret, quantize=quantize
+    )
     return _means(sums, h, w)
 
 
@@ -416,6 +440,18 @@ def msssim_level_means(
     pad+pool cost ~doubled MS-SSIM's step time on chip)."""
     h, w = a.shape[-2], a.shape[-1]
     q12 = pad_to_layout4(jnp.stack([a, b]), h, w)
+    return msssim_level_means_padded(q12, h, w, levels, interpret=interpret)
+
+
+def msssim_level_means_padded(
+    q12: jax.Array, h: int, w: int, levels: int, *,
+    quantize: bool = False, interpret: bool = False,
+) -> list[tuple[jax.Array, jax.Array]]:
+    """msssim_level_means on an already-padded (2, B, 3, hp, wp) buffer.
+
+    ``quantize`` applies only to level 0 (deeper levels consume the
+    emitted 2x2 means of the already-quantized values, matching
+    quality._downsample_2x2's semantics)."""
     if levels > 1:
         from turbo_metrics_tpu.ops.pallas.windowed_tail import (
             msssim_tail_ok,
@@ -423,7 +459,7 @@ def msssim_level_means(
         )
 
         sums0, ds12 = ssim_sums_pallas(
-            q12, h, w, emit_ds=True, interpret=interpret
+            q12, h, w, emit_ds=True, interpret=interpret, quantize=quantize
         )
         h1, w1 = h // 2, w // 2
         if levels == 5 and msssim_tail_ok(h1, w1, ds12.shape):
@@ -443,7 +479,8 @@ def msssim_level_means(
         out, start = [], 0
     for lvl in range(start, levels):
         sums, ds12 = ssim_sums_pallas(
-            q12, h, w, emit_ds=lvl < levels - 1, interpret=interpret
+            q12, h, w, emit_ds=lvl < levels - 1, interpret=interpret,
+            quantize=quantize and lvl == 0,
         )
         out.append(_means(sums, h, w))
         if lvl < levels - 1:

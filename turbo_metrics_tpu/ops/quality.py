@@ -113,20 +113,25 @@ def _downsample_2x2(x: jax.Array) -> jax.Array:
     return x.mean(axis=(-3, -1))
 
 
-def _msssim_levels(a: jax.Array, b: jax.Array, levels: int, backend: str):
-    """Per-level (mean(luminance*cs), mean(cs)) plus the clamped weights.
-
-    Levels are clamped so the 11x11 window still fits after downsampling
-    (min dim >= 11 * 2^(levels-1)); clamped weights are renormalised to
-    sum 1.  Level 0's ml IS the single-scale SSIM index — the shared
-    substrate for :func:`msssim` and :func:`ssim_msssim`.
-    """
-    min_dim = min(a.shape[-2], a.shape[-1])
-    fit = max(1, (min_dim // 11).bit_length())
+def _clamp_levels(h: int, w: int, levels: int):
+    """Clamp MS-SSIM levels so the 11x11 window still fits after
+    downsampling (min dim >= 11 * 2^(levels-1)); renormalise the clamped
+    weights to sum 1."""
+    fit = max(1, (min(h, w) // 11).bit_length())
     levels = min(levels, fit)
     weights = MSSSIM_WEIGHTS[:levels]
     if levels < len(MSSSIM_WEIGHTS):
         weights = weights / weights.sum()
+    return levels, weights
+
+
+def _msssim_levels(a: jax.Array, b: jax.Array, levels: int, backend: str):
+    """Per-level (mean(luminance*cs), mean(cs)) plus the clamped weights.
+
+    Level 0's ml IS the single-scale SSIM index — the shared substrate
+    for :func:`msssim` and :func:`ssim_msssim`.
+    """
+    levels, weights = _clamp_levels(a.shape[-2], a.shape[-1], levels)
     lead = a.shape[:-3]
     if _pallas_ok(a, backend):
         # Padded-chain MS-SSIM: each level's kernel emits the next level's
@@ -166,6 +171,52 @@ def msssim(
 ) -> jax.Array:
     """Multi-scale SSIM (Wang 2003); (..., C, H, W) -> (...,)."""
     return _msssim_combine(*_msssim_levels(a, b, levels, backend))
+
+
+def quality_from_padded(
+    p12: jax.Array, h: int, w: int, *, want_psnr: bool = False,
+    want_ssim: bool = False, want_msssim: bool = False, levels: int = 5,
+    interpret: bool = False,
+) -> dict:
+    """PSNR/SSIM/MS-SSIM straight from a padded (2, B, 3, hp, wp)
+    LINEAR-RGB buffer (the fused conversion kernel's output — the engine's
+    multi-metric fast path).  The 8-bit quantization pass
+    (clip(round(lin*255)), the reference's f32_to_8bit before NPP) happens
+    in-kernel / XLA-fused, never materialised in HBM; the SSIM family
+    skips its per-metric pad_to_layout4 copy entirely.  Values match
+    psnr/ssim/msssim on the quantized unpadded arrays (PSNR exactly up to
+    f32 sum order; SSIM family bit-identically — same kernel).
+    """
+    out = {}
+    if want_psnr:
+        q = jnp.clip(jnp.round(p12 * np.float32(255.0)), 0.0, 255.0)
+        d = q[0] - q[1]
+        # The halo/pad region is exactly zero in BOTH images (the padded
+        # layout's invariant), so it contributes nothing to the SSD;
+        # divide by the true pixel count.
+        mse = jnp.sum(d * d, axis=(-3, -2, -1)) / np.float32(3 * h * w)
+        out["psnr"] = np.float32(10.0) * jnp.log10(
+            np.float32(255.0 * 255.0) / mse
+        )
+    if want_msssim:
+        from turbo_metrics_tpu.ops.pallas.windowed import (
+            msssim_level_means_padded,
+        )
+
+        lv, weights = _clamp_levels(h, w, levels)
+        per_level = msssim_level_means_padded(
+            p12, h, w, lv, quantize=True, interpret=interpret
+        )
+        out["msssim"] = _msssim_combine(per_level, weights)
+        if want_ssim:
+            out["ssim"] = per_level[0][0]
+    elif want_ssim:
+        from turbo_metrics_tpu.ops.pallas.windowed import ssim_level_padded
+
+        out["ssim"] = ssim_level_padded(
+            p12, h, w, quantize=True, interpret=interpret
+        )[0]
+    return out
 
 
 def ssim_msssim(
