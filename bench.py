@@ -300,10 +300,12 @@ def main() -> int:
     # are stacked DEVICE-SIDE and fetched as one transfer, so the dev
     # tunnel's ~28 ms fixed per-fetch latency (not present on a production
     # PCIe host) amortizes over K*batch frames instead of capping the loop.
-    # Three repetitions, best taken (tunnel load varies run to run by ~2x).
+    # Best of TM_BENCH_REPS repetitions (tunnel load varies run to run by
+    # ~2x; each rep is <1 s, so extra reps cheaply sample quiet windows).
     K = 8
+    reps = int(os.environ.get("TM_BENCH_REPS", "6"))
     best = 0.0
-    for rep in range(3):
+    for rep in range(reps):
         t0 = time.perf_counter()
         pend: list = []
         prev = None

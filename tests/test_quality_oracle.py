@@ -110,6 +110,22 @@ def test_quality_from_padded_matches_unpadded(rng):
     assert float(got["ssim"][0]) == pytest.approx(want_ssim, abs=1e-6)
     assert float(got["msssim"][0]) == pytest.approx(want_ms, abs=1e-6)
 
+    # Threaded (donated) level-0 emit buffer: same values, buffer returned.
+    from turbo_metrics_tpu.ops.pallas.windowed import msssim_ds_buffer_shape
+
+    ms_buf = jnp_asarray(
+        np.zeros(msssim_ds_buffer_shape(h, w, 1), np.float32)
+    )
+    got2 = jax.jit(
+        lambda p, mb: quality.quality_from_padded(
+            p, h, w, want_ssim=True, want_msssim=True, interpret=True,
+            ms_ds_buf=mb,
+        )
+    )(p12, ms_buf)
+    assert got2.pop("_ms_ds_buf").shape == ms_buf.shape
+    assert float(got2["ssim"][0]) == pytest.approx(want_ssim, abs=1e-6)
+    assert float(got2["msssim"][0]) == pytest.approx(want_ms, abs=1e-6)
+
 
 def jnp_asarray(x):
     import jax.numpy as jnp

@@ -743,14 +743,16 @@ class TurboMetrics:
                 )
 
                 def padded_multi_step(ref_arrays, dis_arrays, aux, bufs):
-                    top_buf, ds_bufs = bufs
+                    top_buf, ds_bufs, ms_bufs = bufs
                     p12 = convert(ref_arrays, dis_arrays, top_buf)
                     out = quality.quality_from_padded(
                         p12, height, width,
                         want_psnr=metrics.psnr,
                         want_ssim=metrics.ssim,
                         want_msssim=metrics.msssim,
+                        ms_ds_buf=ms_bufs[0] if ms_bufs else None,
                     )
+                    ms_out = [out.pop("_ms_ds_buf")] if ms_bufs else []
                     ds_out = []
                     if metrics.ssimulacra2:
                         out["ssimulacra2_subscores"], ds_out = (
@@ -764,7 +766,7 @@ class TurboMetrics:
                         ref_arrays, dis_arrays, aux,
                         vmaf_integer=vmaf_integer, axis_name=None,
                     )
-                    return out, (p12, ds_out)
+                    return out, (p12, ds_out, ms_out)
 
                 jfn = jax.jit(padded_multi_step, donate_argnums=(3,))
                 _, _, _, _, hp, wp = pad_geom4(height, width)
@@ -780,7 +782,21 @@ class TurboMetrics:
                         if metrics.ssimulacra2
                         else []
                     )
-                    return (jnp.zeros((2, bsz, 3, hp, wp), jnp.float32), ds)
+                    ms = []
+                    if metrics.msssim:
+                        from turbo_metrics_tpu.ops.pallas.windowed import (
+                            msssim_ds_buffer_shape,
+                        )
+
+                        ms = [
+                            jnp.zeros(
+                                msssim_ds_buffer_shape(height, width, bsz),
+                                jnp.float32,
+                            )
+                        ]
+                    return (
+                        jnp.zeros((2, bsz, 3, hp, wp), jnp.float32), ds, ms
+                    )
 
                 fn = _BufferedStep(jfn, make_bufs)
                 self._step_cache[key] = fn

@@ -300,6 +300,7 @@ def ssim_sums_pallas(
     q12: jax.Array, h: int, w: int, *, emit_ds: bool = False,
     interpret: bool = False, h_chunk: int | None = None,
     w_chunk: int | None = None, quantize: bool = False,
+    ds_buf: jax.Array | None = None,
 ):
     """Per-channel (sum(luminance*cs), sum(cs)) over the valid grid.
 
@@ -354,10 +355,20 @@ def ssim_sums_pallas(
         # Sized to cover BOTH the emitting grid's staging extent and the
         # next level's tile grid (scale_stats.ds_buffer_hw); MS-SSIM's
         # truncated dims (h//2) are <= ds_buffer_hw's ceil-half extent.
+        # ``ds_buf``: a caller-threaded (donated) buffer whose
+        # never-written slack is already zero — skips re-materialising
+        # the zeros every step (the aliased output forces XLA to refill
+        # a fresh-constant buffer each execution otherwise).
         hp2, wp2 = ds_buffer_hw(h, w)
         dh_p = _round_up(tile_h // 2, 8)
         dw_p = _round_up(tile_w // 2, 128)
-        inputs.append(jnp.zeros((2, bsz, 3, hp2, wp2), jnp.float32))
+        if ds_buf is not None:
+            assert ds_buf.shape == (2, bsz, 3, hp2, wp2), (
+                ds_buf.shape, (2, bsz, 3, hp2, wp2)
+            )
+            inputs.append(ds_buf)
+        else:
+            inputs.append(jnp.zeros((2, bsz, 3, hp2, wp2), jnp.float32))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shapes.append(
             jax.ShapeDtypeStruct((2, bsz, 3, hp2, wp2), jnp.float32)
@@ -443,15 +454,28 @@ def msssim_level_means(
     return msssim_level_means_padded(q12, h, w, levels, interpret=interpret)
 
 
+def msssim_ds_buffer_shape(h: int, w: int, bsz: int) -> tuple:
+    """Shape of the level-0 emit buffer msssim_level_means_padded threads
+    (for callers that donate it through steps, e.g. the engine)."""
+    hp2, wp2 = ds_buffer_hw(h, w)
+    return (2, bsz, 3, hp2, wp2)
+
+
 def msssim_level_means_padded(
     q12: jax.Array, h: int, w: int, levels: int, *,
     quantize: bool = False, interpret: bool = False,
+    ds_buf: jax.Array | None = None,
 ) -> list[tuple[jax.Array, jax.Array]]:
     """msssim_level_means on an already-padded (2, B, 3, hp, wp) buffer.
 
     ``quantize`` applies only to level 0 (deeper levels consume the
     emitted 2x2 means of the already-quantized values, matching
-    quality._downsample_2x2's semantics)."""
+    quality._downsample_2x2's semantics).  ``ds_buf``: optional threaded
+    level-0 emit buffer (msssim_ds_buffer_shape) — callers that loop
+    steps should donate it and reuse the emitted buffer (ds12, returned
+    as per_level's attribute via the chain) to skip per-step zero fills;
+    levels 1-4 live in VMEM when the fused tail engages."""
+    ds0 = None
     if levels > 1:
         from turbo_metrics_tpu.ops.pallas.windowed_tail import (
             msssim_tail_ok,
@@ -459,8 +483,10 @@ def msssim_level_means_padded(
         )
 
         sums0, ds12 = ssim_sums_pallas(
-            q12, h, w, emit_ds=True, interpret=interpret, quantize=quantize
+            q12, h, w, emit_ds=True, interpret=interpret, quantize=quantize,
+            ds_buf=ds_buf,
         )
+        ds0 = ds12
         h1, w1 = h // 2, w // 2
         if levels == 5 and msssim_tail_ok(h1, w1, ds12.shape):
             # Levels 1-4 in one kernel (windowed_tail.py) — kills the
@@ -471,7 +497,7 @@ def msssim_level_means_padded(
             for li in range(4):
                 out.append(_means(tail[:, li], lh, lw))
                 lh, lw = lh // 2, lw // 2
-            return out
+            return (out, ds0) if ds_buf is not None else out
         out = [_means(sums0, h, w)]
         q12, h, w = ds12, h1, w1
         start = 1
@@ -486,4 +512,4 @@ def msssim_level_means_padded(
         if lvl < levels - 1:
             q12 = ds12
             h, w = h // 2, w // 2
-    return out
+    return (out, ds0) if ds_buf is not None else out

@@ -176,7 +176,7 @@ def msssim(
 def quality_from_padded(
     p12: jax.Array, h: int, w: int, *, want_psnr: bool = False,
     want_ssim: bool = False, want_msssim: bool = False, levels: int = 5,
-    interpret: bool = False,
+    interpret: bool = False, ms_ds_buf: jax.Array | None = None,
 ) -> dict:
     """PSNR/SSIM/MS-SSIM straight from a padded (2, B, 3, hp, wp)
     LINEAR-RGB buffer (the fused conversion kernel's output — the engine's
@@ -204,9 +204,20 @@ def quality_from_padded(
         )
 
         lv, weights = _clamp_levels(h, w, levels)
-        per_level = msssim_level_means_padded(
-            p12, h, w, lv, quantize=True, interpret=interpret
-        )
+        if ms_ds_buf is not None and lv > 1:
+            # Caller-threaded (donated) level-0 emit buffer: returned
+            # under "_ms_ds_buf" so step loops can reuse it and skip the
+            # per-step zero refill of the aliased output.
+            per_level, out["_ms_ds_buf"] = msssim_level_means_padded(
+                p12, h, w, lv, quantize=True, interpret=interpret,
+                ds_buf=ms_ds_buf,
+            )
+        else:
+            per_level = msssim_level_means_padded(
+                p12, h, w, lv, quantize=True, interpret=interpret
+            )
+            if ms_ds_buf is not None:
+                out["_ms_ds_buf"] = ms_ds_buf
         out["msssim"] = _msssim_combine(per_level, weights)
         if want_ssim:
             out["ssim"] = per_level[0][0]
