@@ -220,7 +220,12 @@ def main(argv: list[str] | None = None) -> int:
         if batch is None and total_hint:
             from turbo_metrics_tpu.engine import default_batch
 
-            batch = min(default_batch(source_ref.width, source_ref.height), total_hint)
+            batch = min(
+                default_batch(
+                    source_ref.width, source_ref.height, metrics
+                ),
+                total_hint,
+            )
         return TurboMetrics(
             source_ref.width,
             source_ref.height,

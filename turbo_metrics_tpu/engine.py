@@ -497,7 +497,11 @@ class TurboMetrics:
         self.mesh = mesh  # jax.sharding.Mesh: shard frame batches over chips
         if mesh is not None:
             self._mesh_size = int(np.prod(mesh.devices.shape))
-        self.batch = batch if batch is not None else default_batch(width, height)
+        self.batch = (
+            batch
+            if batch is not None
+            else default_batch(width, height, metrics)
+        )
         if mesh is not None and self.batch % self._mesh_size:
             # Round the batch up so every chip gets equal frames per step.
             self.batch = -(-self.batch // self._mesh_size) * self._mesh_size
@@ -1110,15 +1114,33 @@ class TurboMetrics:
         )
 
 
-def default_batch(width: int, height: int) -> int:
+def default_batch(
+    width: int, height: int, metrics: "Metrics | None" = None
+) -> int:
     """Pick a frame batch size that keeps the device busy without blowing HBM.
 
-    The fused Pallas pipeline's working set is ~160 bytes/pixel per frame
-    pair (padded linear planes + pyramid + XLA slack).  Measured on the
-    v5e at 1080p (docs/PERFORMANCE.md round-3 final): batch 24 is fastest
-    (787 fps vs 778 at b16, 756 at b8), so cap at 24 inside an 8 GiB
-    budget (b24 at 1080p ~7.5 GiB; 16 GiB HBM on a v5e chip).
+    Flagship-only (SSIMULACRA2) runs use the lean fused-from-YUV pipeline
+    (~32 bytes/pixel per frame pair on device: padded u8 inputs + the
+    donated ds pyramid) and keep gaining per-frame throughput up to b96
+    at 1080p — the drift-controlled job-114 ladder measured 902 / 901 /
+    938 / 959 / 979 fps at b24/32/48/64/96, both pass orders agreeing —
+    so cap at the measured optimum 96 inside an 8 GiB budget.
+    Multi-metric runs carry the padded linear-RGB pair, MS-SSIM emit and
+    ds buffers (~160 bytes/pixel/pair incl. XLA slack): cap 48.
+    ``metrics=None`` (unknown composition) uses the conservative model.
     """
-    per_pair = 160 * width * height
+    only_s2 = (
+        metrics is not None
+        and metrics.ssimulacra2
+        and not (
+            metrics.psnr
+            or metrics.ssim
+            or metrics.msssim
+            or metrics.xpsnr
+            or metrics.vmaf
+        )
+    )
+    per_px, cap = (32, 96) if only_s2 else (160, 48)
+    per_pair = per_px * width * height
     budget = 8 << 30
-    return int(np.clip(budget // max(per_pair, 1), 1, 24))
+    return int(np.clip(budget // max(per_pair, 1), 1, cap))
