@@ -134,10 +134,11 @@ def main() -> int:
 
     # Per-frame throughput keeps rising with batch at 1080p — the
     # drift-controlled job-114 ladder measured 902/901/938/959/979 fps at
-    # b24/32/48/64/96 (both pass orders agreeing; docs/PERFORMANCE.md
-    # round-4) — so bench at the measured optimum b96.  Staging cost is
-    # unchanged (two pre-staged sets).
-    batch = int(os.environ.get("TM_BENCH_BATCH", "96"))
+    # b24/32/48/64/96 (both pass orders agreeing) and b128 adds ~1% more
+    # (job 117); the bench-style pipelined loop at b96 measured
+    # 998-1001 fps across 6 reps (docs/PERFORMANCE.md round-4).  Bench at
+    # b128 for margin; staging cost stays two pre-staged sets.
+    batch = int(os.environ.get("TM_BENCH_BATCH", "128"))
     iters = int(os.environ.get("TM_BENCH_ITERS", "16"))
     num_scales = len(scale_dims(H, W))
 
