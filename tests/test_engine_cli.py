@@ -72,6 +72,21 @@ def test_identical_y4m_psnr_inf(tmp_path, rng):
     assert all(np.isinf(s) for s in res.psnr.scores)
 
 
+def test_default_batch_metrics_aware():
+    """default_batch follows the measured job-114 ladder: lean flagship
+    composition caps at 96, multi-metric at 48, both HBM-bounded."""
+    from turbo_metrics_tpu.engine import Metrics, default_batch
+
+    s2 = Metrics(ssimulacra2=True)
+    multi = Metrics(ssimulacra2=True, psnr=True)
+    assert default_batch(1920, 1080, s2) == 96
+    assert default_batch(1920, 1080, multi) < 48  # HBM model bound
+    assert default_batch(1920, 1080) == default_batch(1920, 1080, multi)
+    assert default_batch(3840, 2160, s2) <= 96  # 4K HBM-bounded
+    assert default_batch(720, 576, multi) == 48
+    assert default_batch(64, 48, s2) == 96
+
+
 def test_msssim_sanity(rng):
     """MS-SSIM of identical = 1; degrades with noise."""
     ref, dis = make_frame_pair(rng, 192, 256, noise=0.05)
