@@ -1198,68 +1198,83 @@ def _blur_pack_mxuC(
 
     # Group A: 2-limb xyb quantities, consistent values ah (UNmasked —
     # validity is folded into the band matrices).
-    a0s, a1s, ahs = [], [], []
-    for c in act:
-        for idx in (0, 1):
-            h0, l0 = _split2(xyb_channel(idx, c, masked=False))
+    def _splits(*xybs):
+        a0s, a1s, ahs = [], [], []
+        for k in range(len(act) * 2):
+            h0, l0 = _split2(xybs[k])
             a0s.append(h0)
             a1s.append(l0)
             ahs.append(h0.astype(jnp.float32) + l0.astype(jnp.float32))
-    # Group B: products of consistent values, exact 3-limb split.
-    b0s, b1s, b2s = [], [], []
-    for c in ssim_ch:
-        ah, bh = ahs[2 * apos[c]], ahs[2 * apos[c] + 1]
-        for q in (ah * ah + bh * bh, ah * bh):
-            q0, q1, q2 = _split3(q)
-            b0s.append(q0)
-            b1s.append(q1)
-            b2s.append(q2)
+        # Group B: products of consistent values, exact 3-limb split.
+        b0s, b1s, b2s = [], [], []
+        for c in ssim_ch:
+            ah, bh = ahs[2 * apos[c]], ahs[2 * apos[c] + 1]
+            for q in (ah * ah + bh * bh, ah * bh):
+                q0, q1, q2 = _split3(q)
+                b0s.append(q0)
+                b1s.append(q1)
+                b2s.append(q2)
+        # H-pass operands: lane-packed over the active quantities.
+        return (
+            jnp.concatenate(a0s, axis=1),  # (rows, na*cols) bf16
+            jnp.concatenate(a1s, axis=1),
+            jnp.concatenate(b0s, axis=1) if b0s else None,
+            jnp.concatenate(b1s, axis=1) if b0s else None,
+            jnp.concatenate(b2s, axis=1) if b0s else None,
+            tuple(ahs),
+        )
+
+    pa0, pa1, pb0, pb1, pb2, ahs = _dup(
+        "packS",
+        _splits,
+        *[xyb_channel(idx, c, masked=False) for c in act for idx in (0, 1)],
+    )
     na, nb = 2 * len(act), 2 * len(ssim_ch)
-
-    # H pass: lane-packed matmuls over the active quantities.
-    pa0 = jnp.concatenate(a0s, axis=1)  # (rows, na*cols) bf16
-    pa1 = jnp.concatenate(a1s, axis=1)
-    pb0 = jnp.concatenate(b0s, axis=1) if nb else None
-    pb1 = jnp.concatenate(b1s, axis=1) if nb else None
-    pb2 = jnp.concatenate(b2s, axis=1) if nb else None
     hch = hmat2.shape[1]
-    if hch < tile_h:
-        # Chunked H pass ('h16'/'h32'): the band is Toeplitz, so one tiny
-        # (hch, hch+16) matrix serves every output-row chunk with a tight
-        # window — same nonzero terms as the fat (tile_h, rows) band at a
-        # fraction of its MACs (fat: rows MACs/output; chunked: hch+16).
-        hwin = hmat2.shape[2]
-        ha_cs, hb_cs = [], []
-        for ci in range(tile_h // hch):
-            s = ci * hch
-            grc = jax.lax.broadcasted_iota(jnp.int32, (1, hwin), 1) + (
-                row0 - ROW_HALO4 + s
-            )
-            rvc = ((grc >= 0) & (grc < h)).astype(jnp.bfloat16)
-            hm0c, hm1c = hmat2[0] * rvc, hmat2[1] * rvc
 
-            def slr(t, s=s, hwin=hwin):
-                return jax.lax.slice(t, (s, 0), (s + hwin, t.shape[1]))
-
-            pa0c, pa1c = slr(pa0), slr(pa1)
-            ha_cs.append(
-                dot(hm0c, pa0c) + dot(hm0c, pa1c)
-                + dot(hm1c, pa0c) + dot(hm1c, pa1c)
-            )
-            if nb:
-                pb0c, pb1c, pb2c = slr(pb0), slr(pb1), slr(pb2)
-                hb_cs.append(
-                    dot(hm0c, pb0c) + dot(hm0c, pb1c) + dot(hm0c, pb2c)
-                    + dot(hm1c, pb0c) + dot(hm1c, pb1c)
+    def _h_pass(pa0, pa1, pb0, pb1, pb2):
+        if hch < tile_h:
+            # Chunked H pass ('h16'/'h32'): the band is Toeplitz, so one
+            # tiny (hch, hch+16) matrix serves every output-row chunk with
+            # a tight window — same nonzero terms as the fat (tile_h, rows)
+            # band at a fraction of its MACs (fat: rows MACs/output;
+            # chunked: hch+16).
+            hwin = hmat2.shape[2]
+            ha_cs, hb_cs = [], []
+            for ci in range(tile_h // hch):
+                s = ci * hch
+                grc = jax.lax.broadcasted_iota(jnp.int32, (1, hwin), 1) + (
+                    row0 - ROW_HALO4 + s
                 )
-        ha = jnp.concatenate(ha_cs, axis=0)
-        hb = jnp.concatenate(hb_cs, axis=0) if nb else None
-    else:
-        ha = dot(hm0, pa0) + dot(hm0, pa1) + dot(hm1, pa0) + dot(hm1, pa1)
-        hb = (
+                rvc = ((grc >= 0) & (grc < h)).astype(jnp.bfloat16)
+                hm0c, hm1c = hmat2[0] * rvc, hmat2[1] * rvc
+
+                def slr(t, s=s, hwin=hwin):
+                    return jax.lax.slice(t, (s, 0), (s + hwin, t.shape[1]))
+
+                pa0c, pa1c = slr(pa0), slr(pa1)
+                ha_cs.append(
+                    dot(hm0c, pa0c) + dot(hm0c, pa1c)
+                    + dot(hm1c, pa0c) + dot(hm1c, pa1c)
+                )
+                if nb:
+                    pb0c, pb1c, pb2c = slr(pb0), slr(pb1), slr(pb2)
+                    hb_cs.append(
+                        dot(hm0c, pb0c) + dot(hm0c, pb1c) + dot(hm0c, pb2c)
+                        + dot(hm1c, pb0c) + dot(hm1c, pb1c)
+                    )
+            return (
+                jnp.concatenate(ha_cs, axis=0),
+                jnp.concatenate(hb_cs, axis=0) if nb else None,
+            )
+        hae = dot(hm0, pa0) + dot(hm0, pa1) + dot(hm1, pa0) + dot(hm1, pa1)
+        hbe = (
             dot(hm0, pb0) + dot(hm0, pb1) + dot(hm0, pb2)
             + dot(hm1, pb0) + dot(hm1, pb1)
         ) if nb else None
+        return hae, hbe
+
+    ha, hb = _dup("blurH", _h_pass, pa0, pa1, pb0, pb1, pb2)
 
     # Repack quantity segments along sublanes.
     segs = [
@@ -1302,31 +1317,42 @@ def _blur_pack_mxuC(
     else:
         # Transposed W pass ('t'): ONE transpose in, chunk windows need only
         # 8-sublane alignment (144 MACs/output), ONE transpose back.
-        pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*tile_h)
-        t0, t1, t2 = _split3(pt)
-        chunk, win = wt2.shape[1], wt2.shape[2]
-        chunks = []
-        for j in range(tile_w // chunk):
-            s = j * chunk + COL_HALO4 - 8
-            # Column validity folded into this chunk's W band limbs (window
-            # element k sits at global column col0 - 8 + j*chunk + k).
-            gc = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1) + (
-                col0 + j * chunk - 8
-            )
-            cvm = ((gc >= 0) & (gc < w)).astype(jnp.bfloat16)
-            w0j, w1j = w0 * cvm, w1 * cvm
+        pt = _dup(
+            "packT", lambda s_: s_.T, jnp.concatenate(segs, axis=0)
+        )  # (cols, 12*tile_h)
 
-            def sl(t, s=s):
-                return jax.lax.slice(t, (s, 0), (s + win, nq))
+        def _w_pass(pt_):
+            t0, t1, t2 = _split3(pt_)
+            chunk, win = wt2.shape[1], wt2.shape[2]
+            chunks = []
+            for j in range(tile_w // chunk):
+                s = j * chunk + COL_HALO4 - 8
+                # Column validity folded into this chunk's W band limbs
+                # (window element k sits at global column
+                # col0 - 8 + j*chunk + k).
+                gc = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1) + (
+                    col0 + j * chunk - 8
+                )
+                cvm = ((gc >= 0) & (gc < w)).astype(jnp.bfloat16)
+                w0j, w1j = w0 * cvm, w1 * cvm
 
-            x0, x1, x2 = sl(t0), sl(t1), sl(t2)
-            chunks.append(
-                dot(w0j, x0) + dot(w0j, x1) + dot(w0j, x2)
-                + dot(w1j, x0) + dot(w1j, x1)
-            )
+                def sl(t, s=s):
+                    return jax.lax.slice(t, (s, 0), (s + win, nq))
+
+                x0, x1, x2 = sl(t0), sl(t1), sl(t2)
+                chunks.append(
+                    dot(w0j, x0) + dot(w0j, x1) + dot(w0j, x2)
+                    + dot(w1j, x0) + dot(w1j, x1)
+                )
+            return jnp.concatenate(chunks, axis=0)
+
         # kappa matches the 2-limb filter's sum to the oracle's f32 taps
         # (_tapsum_kappa); the back-transpose restores full-lane orientation.
-        wt_nat = (jnp.concatenate(chunks, axis=0) * jnp.float32(kappa)).T
+        wt_nat = _dup(
+            "packT2",
+            lambda v: v.T,
+            _dup("blurW", _w_pass, pt) * jnp.float32(kappa),
+        )
 
     lo = (ROW_HALO4, COL_HALO4)
     hi_ = (ROW_HALO4 + tile_h, COL_HALO4 + tile_w)
@@ -1381,38 +1407,46 @@ def _maps_sums_gen(
             def sl(t, j0=j0):
                 return jax.lax.slice(t, (0, j0), (tile_h, j0 + cw))
 
-            mu1, mu2 = sl(mu1f), sl(mu2f)
-            i1, i2 = sl(i1f), sl(i2f)
             msk = sl(mask)
 
-            maps6 = [None] * 6
-            if need_ssim:
-                s_sum, s12 = sl(s_sumf), sl(s12f)
-                mu12 = mu1 * mu2
-                mu_diff = mu1 - mu2
-                num_m = one - mu_diff * mu_diff
-                num_s = jnp.float32(2.0) * (s12 - mu12) + C2
-                denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
-                d = jnp.maximum(
-                    _map_div(denom_s - num_m * num_s, denom_s, fastdiv), 0.0
-                ) * msk
-                d2 = d * d
-                maps6[0], maps6[1] = d, d2 * d2
+            def _map_chunk(mu1, mu2, i1, i2, *ss):
+                maps6 = [None] * 6
+                if need_ssim:
+                    s_sum, s12 = ss
+                    mu12 = mu1 * mu2
+                    mu_diff = mu1 - mu2
+                    num_m = one - mu_diff * mu_diff
+                    num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+                    denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+                    d = jnp.maximum(
+                        _map_div(denom_s - num_m * num_s, denom_s, fastdiv),
+                        0.0,
+                    ) * msk
+                    d2 = d * d
+                    maps6[0], maps6[1] = d, d2 * d2
 
-            if need_art or need_det:
-                aa = jnp.abs(i2 - mu2)
-                bb2 = jnp.abs(i1 - mu1)
-                # Masking d1m once replaces masking art and det separately:
-                # max(x*m, 0) == max(x, 0)*m for m in {0, 1}.
-                d1m = _map_div(aa - bb2, one + bb2, fastdiv) * msk
-                if need_art:
-                    art = jnp.maximum(d1m, 0.0)
-                    art2 = art * art
-                    maps6[2], maps6[3] = art, art2 * art2
-                if need_det:
-                    det = jnp.maximum(-d1m, 0.0)
-                    det2 = det * det
-                    maps6[4], maps6[5] = det, det2 * det2
+                if need_art or need_det:
+                    aa = jnp.abs(i2 - mu2)
+                    bb2 = jnp.abs(i1 - mu1)
+                    # Masking d1m once replaces masking art and det
+                    # separately: max(x*m, 0) == max(x, 0)*m for m in {0, 1}.
+                    d1m = _map_div(aa - bb2, one + bb2, fastdiv) * msk
+                    if need_art:
+                        art = jnp.maximum(d1m, 0.0)
+                        art2 = art * art
+                        maps6[2], maps6[3] = art, art2 * art2
+                    if need_det:
+                        det = jnp.maximum(-d1m, 0.0)
+                        det2 = det * det
+                        maps6[4], maps6[5] = det, det2 * det2
+                return tuple(maps6)
+
+            maps6 = _dup(
+                "maps",
+                _map_chunk,
+                sl(mu1f), sl(mu2f), sl(i1f), sl(i2f),
+                *((sl(s_sumf), sl(s12f)) if need_ssim else ()),
+            )
 
             for k in range(6):
                 if needs[c][k]:
@@ -1427,6 +1461,42 @@ def _maps_sums_gen(
 # xyb interiors (data-dependent, so nothing constant-folds).  Scores are
 # meaningless under any skip; never set outside timing experiments.
 DEBUG_SKIP: frozenset = frozenset()
+
+# Dev-only stage-DUPLICATION knob: the finer attribution instrument that
+# replaced DEBUG_SKIP knockouts after they saturated in round 4 (the
+# DCE-safe fake consumer became slower than the real maps, and knockouts
+# disable needs-gating, so sub-ms stage costs were unresolvable).  A stage
+# named in DEBUG_DUP is evaluated a SECOND time on a multiplicatively
+# perturbed copy of its inputs (perturbation defeats CSE) and the two
+# results are averaged, so needs-gating, the DMA pattern and every
+# downstream consumer stay exactly as in the default build.  The stage's
+# marginal cost is then t(DEBUG_DUP={stage}) - t(DEBUG_DUP=set()), always
+# >= 0 up to scheduler overlap (a stage that hides under DMA or MXU/VPU
+# overlap shows a marginal below its issue cost — that is the quantity
+# that matters for optimisation anyway).  Scores shift by ~the
+# perturbation (<= 2^-7 relative); never set outside timing experiments.
+DEBUG_DUP: frozenset = frozenset()
+
+
+def _dup_perturb(a):
+    if a is None or not hasattr(a, "dtype"):
+        return a
+    if a.dtype == jnp.bfloat16:
+        # 1 + 2^-7 is the smallest bf16-representable relative nudge.
+        return a * jnp.asarray(1.0078125, jnp.bfloat16)
+    return a * jnp.asarray(1.0 + 2.0 ** -20, a.dtype)
+
+
+def _dup(name: str, fn, *args):
+    """Evaluate ``fn(*args)``; if stage ``name`` is under DEBUG_DUP, also
+    evaluate it on perturbed inputs and average (see DEBUG_DUP)."""
+    out = fn(*args)
+    if name not in DEBUG_DUP:
+        return out
+    out2 = fn(*[_dup_perturb(a) for a in args])
+    return jax.tree_util.tree_map(
+        lambda x, y: (x + y) * np.float32(0.5), out, out2
+    )
 
 # Column pair-sum engine for the in-kernel 2x2-mean downscale emission
 # (see _emit_ds_tiles): 'highest' = dense f32 selection matmul (6 MXU
@@ -1615,7 +1685,7 @@ def _maps_and_sums_consistent(
             # map (64x less reduced data; keeps the maps math alive).
             return jnp.sum(jax.lax.slice(m, (0, 0), (8, 128)))
         if not mxu_sums:
-            return _partial_sum(m)
+            return _dup("sums", _partial_sum, m)
         r = jax.lax.dot_general(
             ones_row, m, dims, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
@@ -2066,16 +2136,21 @@ def _emit_ds_tiles(
         cid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 1) + col0 // 2
         cfac = jnp.where(cid == w2 - 1, jnp.float32(2.0), jnp.float32(1.0))
 
-    rsums = []
-    for img_idx in (0, 1):
-        for c in range(3):
-            q = get_plane(img_idx, c)
+    def _ds_compute(*planes):
+        rsums = []
+        for q in planes:
             rsum = q.reshape(dh, 2, tile_w).sum(axis=1)
             if dh_p != dh:
                 rsum = jnp.pad(rsum, ((0, dh_p - dh), (0, 0)))
             rsums.append(rsum)
-    packed = jnp.concatenate(rsums, axis=0)  # (6*dh_p, tile_w)
-    quad_all = _pair_sum_cols(packed, tile_w, dw, dw_p)
+        packed = jnp.concatenate(rsums, axis=0)  # (6*dh_p, tile_w)
+        return _pair_sum_cols(packed, tile_w, dw, dw_p)
+
+    quad_all = _dup(
+        "ds",
+        _ds_compute,
+        *[get_plane(img_idx, c) for img_idx in (0, 1) for c in range(3)],
+    )
 
     copies = []
     for img_idx in (0, 1):
@@ -2626,18 +2701,22 @@ def _fused_scale0_yuv_kernel(
         ) * y_coeff
         cb = tu[slot, img].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
         cr = tv[slot, img].astype(jnp.int32).astype(jnp.float32) - jnp.float32(neutral)
-        ucb = up(cb)
-        ucr = up(cr)
+        ucb = _dup("up", up, cb)
+        ucr = _dup("up", up, cr)
         r_ = r_coeff * ucr
         g_ = g_coeff1 * ucb + g_coeff2 * ucr
         b_ = b_coeff * ucb
+
+        def _eotf_clip(t):
+            return jnp.clip(eotf(t), 0.0, 1.0)
+
         # Outside the image the padded planes hold (minimum, neutral), so
         # luma + c_ is exactly 0 there and every EOTF maps 0 -> 0: the RGB
         # planes are already zero at padded positions with no mask multiply.
         rgbs.append(tuple(
-            jnp.clip(eotf(luma + c_), 0.0, 1.0)
+            _dup("eotf", _eotf_clip, luma + c_)
             if valid is None
-            else jnp.clip(eotf(luma + c_), 0.0, 1.0) * valid
+            else _dup("eotf", _eotf_clip, luma + c_) * valid
             for c_ in (r_, g_, b_)
         ))
 
@@ -2671,7 +2750,16 @@ def _fused_scale0_yuv_kernel(
         y0 = (np.float32(2.0) * y0 + v / (y0 * y0)) * third
         return y0 - root
 
-    mixes = [(opsin_mix(rgb, 0), opsin_mix(rgb, 1)) for rgb in rgbs]
+    def _mix(r_, g_, b_, row):
+        return opsin_mix((r_, g_, b_), row)
+
+    mixes = [
+        (
+            _dup("xyb", lambda r_, g_, b_: _mix(r_, g_, b_, 0), *rgb),
+            _dup("xyb", lambda r_, g_, b_: _mix(r_, g_, b_, 1), *rgb),
+        )
+        for rgb in rgbs
+    ]
 
     def xyb_channel(idx, c, masked=True):
         rg, gr = mixes[idx]
@@ -3061,44 +3149,53 @@ def _fused_tail_kernel(
             need_det = nd[4] or nd[5]
             a = xyb_channel(0, c)
             b = xyb_channel(1, c)
-            mu1, mu2 = blur(a), blur(b)
+            mu1, mu2 = _dup("tailblur", blur, a), _dup("tailblur", blur, b)
             i1 = jax.lax.slice(a, (8, 128), (8 + LH, 128 + LW))
             i2 = jax.lax.slice(b, (8, 128), (8 + LH, 128 + LW))
 
-            sums6 = [zero] * 6
-            if need_ssim:
-                s_sum, s12 = blur(a * a + b * b), blur(a * b)
-                mu12 = mu1 * mu2
-                mu_diff = mu1 - mu2
-                num_m = one - mu_diff * mu_diff
-                num_s = jnp.float32(2.0) * (s12 - mu12) + C2
-                denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
-                d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
-                d = d * mask
-                d2 = d * d
-                if nd[0]:
-                    sums6[0] = jnp.sum(d)
-                if nd[1]:
-                    sums6[1] = jnp.sum(d2 * d2)
+            def _tail_maps(mu1, mu2, i1, i2, *ss):
+                sums6 = [zero] * 6
+                if need_ssim:
+                    s_sum, s12 = ss
+                    mu12 = mu1 * mu2
+                    mu_diff = mu1 - mu2
+                    num_m = one - mu_diff * mu_diff
+                    num_s = jnp.float32(2.0) * (s12 - mu12) + C2
+                    denom_s = (s_sum - mu1 * mu1 - mu2 * mu2) + C2
+                    d = jnp.maximum((denom_s - num_m * num_s) / denom_s, 0.0)
+                    d = d * mask
+                    d2 = d * d
+                    if nd[0]:
+                        sums6[0] = jnp.sum(d)
+                    if nd[1]:
+                        sums6[1] = jnp.sum(d2 * d2)
 
-            if need_art or need_det:
-                aa = jnp.abs(i2 - mu2)
-                bb2 = jnp.abs(i1 - mu1)
-                d1m = (aa - bb2) / (one + bb2) * mask
-                if need_art:
-                    art = jnp.maximum(d1m, 0.0)
-                    art2 = art * art
-                    if nd[2]:
-                        sums6[2] = jnp.sum(art)
-                    if nd[3]:
-                        sums6[3] = jnp.sum(art2 * art2)
-                if need_det:
-                    det = jnp.maximum(-d1m, 0.0)
-                    det2 = det * det
-                    if nd[4]:
-                        sums6[4] = jnp.sum(det)
-                    if nd[5]:
-                        sums6[5] = jnp.sum(det2 * det2)
+                if need_art or need_det:
+                    aa = jnp.abs(i2 - mu2)
+                    bb2 = jnp.abs(i1 - mu1)
+                    d1m = (aa - bb2) / (one + bb2) * mask
+                    if need_art:
+                        art = jnp.maximum(d1m, 0.0)
+                        art2 = art * art
+                        if nd[2]:
+                            sums6[2] = jnp.sum(art)
+                        if nd[3]:
+                            sums6[3] = jnp.sum(art2 * art2)
+                    if need_det:
+                        det = jnp.maximum(-d1m, 0.0)
+                        det2 = det * det
+                        if nd[4]:
+                            sums6[4] = jnp.sum(det)
+                        if nd[5]:
+                            sums6[5] = jnp.sum(det2 * det2)
+                return tuple(sums6)
+
+            ssb = (
+                (_dup("tailblur", blur, a * a + b * b),
+                 _dup("tailblur", blur, a * b))
+                if need_ssim else ()
+            )
+            sums6 = list(_dup("tailmaps", _tail_maps, mu1, mu2, i1, i2, *ssb))
             out_ref[0, li, c, :] = jnp.stack(sums6 + [zero, zero])
 
         # Exact 2x2-mean downscale into the next level's VMEM plane.
@@ -3120,6 +3217,15 @@ def _fused_tail_kernel(
             if lw % 2:
                 cid = jax.lax.broadcasted_iota(jnp.int32, (hn, dw_p), 1)
                 cfac = jnp.where(cid == wn - 1, jnp.float32(2.0), jnp.float32(1.0))
+            def _tail_ds(q):
+                rsum = q.reshape(hn, 2, 2 * wn).sum(axis=1)
+                return jax.lax.dot_general(
+                    rsum, s_cols,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+
             for img in (0, 1):
                 for c in range(3):
                     q = jax.lax.slice(
@@ -3127,13 +3233,7 @@ def _fused_tail_kernel(
                         (8, 128),
                         (8 + 2 * hn, 128 + 2 * wn),
                     )
-                    rsum = q.reshape(hn, 2, 2 * wn).sum(axis=1)
-                    quad = jax.lax.dot_general(
-                        rsum, s_cols,
-                        (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32,
-                    )
+                    quad = _dup("tailds", _tail_ds, q)
                     ds = quad * np.float32(0.25)
                     if lh % 2 or lw % 2:
                         ds = ds * rfac * cfac

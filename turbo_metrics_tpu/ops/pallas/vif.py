@@ -271,30 +271,66 @@ def _vif_kernel(
         [a, b, a * a, b * b, a * b], hmat_a, wmat_a
     )
 
+    def blur_group_dec(qs, hmat, wmat):
+        """Emission blur with the decimation FOLDED INTO THE BANDS: the H
+        band keeps only EVEN output rows and the transposed W band only
+        EVEN output columns, so each kept output is the exact same taps
+        dotted with the exact same window as full-res-blur-then-decimate
+        (bit-identical) at half the blur MACs — and the one-hot
+        even-column selection matmul (which cost about as many MXU cycles
+        as the whole W blur pass) disappears entirely."""
+        nq = len(qs)
+        dh = tile_h // 2
+        pack = jnp.concatenate(qs, axis=1)
+        hm = hmat[...]
+        hch2, hwin = hmat.shape  # decimated: (hch//2, hch+16)
+        hch_ = 2 * hch2
+        if hch_ < tile_h:
+            hcs = []
+            for ci in range(tile_h // hch_):
+                s = ci * hch_
+                hcs.append(
+                    doth(hm, jax.lax.slice(pack, (s, 0), (s + hwin, nq * cols)))
+                )
+            hp_ = jnp.concatenate(hcs, axis=0)  # (dh, nq*cols)
+        else:
+            hp_ = doth(hm, pack)
+        segs = [
+            jax.lax.slice(hp_, (0, i * cols), (dh, (i + 1) * cols))
+            for i in range(nq)
+        ]
+        pt = jnp.concatenate(segs, axis=0).T  # (cols, nq*dh)
+        wm = wmat[...]
+        wch2, wwin = wmat.shape  # decimated: (wch//2, win)
+        wch_ = 2 * wch2
+        chunks = []
+        for j in range(tile_w // wch_):
+            s = j * wch_ + COL_HALO4 - 8
+            win = jax.lax.slice(pt, (s, 0), (s + wwin, nq * dh))
+            chunks.append(doth(wm, win))
+        wt_nat = jnp.concatenate(chunks, axis=0).T  # (nq*dh, tile_w//2)
+        return [
+            jax.lax.slice(wt_nat, (i * dh, 0), ((i + 1) * dh, tile_w // 2))
+            for i in range(nq)
+        ]
+
     ds_copies = []
     if emit_ds:
         dh = tile_h // 2
+        dw = tile_w // 2
         dh_p = _round_up(dh, 8)
-        dw_p = _round_up(tile_w // 2, 128)
-        ea, eb = blur_group([a, b], hmat_b, wmat_b)
-        s_cols = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=0)
-            == 2 * jax.lax.broadcasted_iota(jnp.int32, (tile_w, dw_p), dimension=1)
-        ).astype(jnp.float32)
+        dw_p = _round_up(dw, 128)
+        ea, eb = blur_group_dec([a, b], hmat_b, wmat_b)  # (dh, dw) each
         h2, w2 = (h + 1) // 2, (w + 1) // 2
         rid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 0) + row0 // 2
         cid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 1) + col0 // 2
         keep = ((rid < h2) & (cid < w2)).astype(jnp.float32)
-        wrow = jnp.concatenate(
-            [jnp.ones((dh, 1, tile_w), jnp.float32),
-             jnp.zeros((dh, 1, tile_w), jnp.float32)], axis=1,
-        )
         for img_idx, q in enumerate((ea, eb)):
-            rsel = (q.reshape(dh, 2, tile_w) * wrow).sum(axis=1)  # even rows
             if dh_p != dh:
-                rsel = jnp.pad(rsel, ((0, dh_p - dh), (0, 0)))
-            quad = doth(rsel, s_cols) * keep  # even cols, one-hot exact
-            ds_store[img_idx] = quad
+                q = jnp.pad(q, ((0, dh_p - dh), (0, 0)))
+            if dw_p != dw:
+                q = jnp.pad(q, ((0, 0), (0, dw_p - dw)))
+            ds_store[img_idx] = q * keep
             dst_r = pl.multiple_of(ROW_HALO4 + row0 // 2, 8)
             dst_c = pl.multiple_of(COL_HALO4 + col0 // 2, 128)
             cp = pltpu.make_async_copy(
@@ -386,8 +422,10 @@ def _vif_scale_pallas(
     if emit_ds:
         taps_b = tuple(float(t) for t in vif_window(scale + 1))
         r_b = _RADII[scale + 1]
-        hmat_b = _h_band(taps_b, r_b)
-        wmat_b = _band_wt(taps_b, W_CHUNK, _W_WINS[W_CHUNK])
+        # Even-output-row / even-output-column subsets: decimation folded
+        # into the emission bands (see _vif_kernel.blur_group_dec).
+        hmat_b = _h_band(taps_b, r_b)[0::2]
+        wmat_b = _band_wt(taps_b, W_CHUNK, _W_WINS[W_CHUNK])[0::2]
         in_specs.insert(3, pl.BlockSpec(hmat_b.shape, lambda p, th, tw: (0, 0)))
         in_specs.insert(
             4, pl.BlockSpec(wmat_b.shape, lambda p, th, tw: (0, 0))

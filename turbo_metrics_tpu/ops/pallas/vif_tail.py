@@ -128,10 +128,13 @@ def _build_mats(h1: int, w1: int):
             if key not in hrow:
                 hrow[key] = len(ha)
                 ha.append(_folded_h(taps_a, t * _TH, h))
+                # B (emission) bands carry only the EVEN output rows/cols:
+                # decimation folded into the band (see the kernel's
+                # emission block) — bit-identical to blur-then-decimate.
                 hb.append(
-                    _folded_h(taps_b, t * _TH, h)
+                    _folded_h(taps_b, t * _TH, h)[0::2]
                     if taps_b is not None
-                    else np.zeros((_TH, _TH + 16), np.float32)
+                    else np.zeros((_TH // 2, _TH + 16), np.float32)
                 )
             hix.append(hrow[key])
         for q in range(nc):
@@ -140,9 +143,9 @@ def _build_mats(h1: int, w1: int):
                 wrow[key] = len(wa)
                 wa.append(_folded_wt(taps_a, q * 128, w))
                 wb.append(
-                    _folded_wt(taps_b, q * 128, w)
+                    _folded_wt(taps_b, q * 128, w)[0::2]
                     if taps_b is not None
-                    else np.zeros((128, 144), np.float32)
+                    else np.zeros((64, 144), np.float32)
                 )
             wix.append(wrow[key])
         ha_ix.append(hix)
@@ -242,22 +245,26 @@ def _vif_tail_kernel(
                 for i in range(5)
             ]
             pt = jnp.concatenate(segs, axis=0).T  # (cols, 5*64)
+            dh = _TH // 2
             if emit:
+                # Decimated emission bands: hb/wb carry only the even
+                # output rows/cols (built in _build_mats), so the B blur
+                # lands directly at the next level's resolution.
                 hpb = doth(
                     hb_ref[ha_ix[li][t]], jnp.concatenate([a, b], axis=1)
-                )
+                )  # (dh, 2*cols)
                 segsb = [
-                    jax.lax.slice(hpb, (0, i * cols), (_TH, (i + 1) * cols))
+                    jax.lax.slice(hpb, (0, i * cols), (dh, (i + 1) * cols))
                     for i in range(2)
                 ]
-                ptb = jnp.concatenate(segsb, axis=0).T  # (cols, 2*64)
+                ptb = jnp.concatenate(segsb, axis=0).T  # (cols, 2*dh)
             chunks, chunksb = [], []
             for q in range(nc):
                 s = q * 128 + COL_HALO4 - 8
                 win = jax.lax.slice(pt, (s, 0), (s + 144, 5 * _TH))
                 chunks.append(doth(wa_ref[wa_ix[li][q]], win))
                 if emit:
-                    winb = jax.lax.slice(ptb, (s, 0), (s + 144, 2 * _TH))
+                    winb = jax.lax.slice(ptb, (s, 0), (s + 144, 2 * dh))
                     chunksb.append(doth(wb_ref[wa_ix[li][q]], winb))
             wt = jnp.concatenate(chunks, axis=0).T  # (5*64, wpad)
 
@@ -289,16 +296,7 @@ def _vif_tail_kernel(
             den_acc = den_acc + jnp.sum(den * mask)
 
             if emit:
-                wtb = jnp.concatenate(chunksb, axis=0).T  # (2*64, wpad)
-                dh = _TH // 2
-                s_cols = (
-                    jax.lax.broadcasted_iota(jnp.int32, (wpad, dwp), 0)
-                    == 2 * jax.lax.broadcasted_iota(jnp.int32, (wpad, dwp), 1)
-                ).astype(jnp.float32)
-                wrow = jnp.concatenate(
-                    [jnp.ones((dh, 1, wpad), jnp.float32),
-                     jnp.zeros((dh, 1, wpad), jnp.float32)], axis=1,
-                )
+                wtb = jnp.concatenate(chunksb, axis=0).T  # (2*dh, wpad//2)
                 rid2 = (
                     jax.lax.broadcasted_iota(jnp.int32, (dh, dwp), 0)
                     + r0 // 2
@@ -307,15 +305,13 @@ def _vif_tail_kernel(
                 keep = ((rid2 < h2) & (cid2 < w2)).astype(jnp.float32)
                 for ii in range(2):
                     eb = jax.lax.slice(
-                        wtb, (ii * _TH, 0), ((ii + 1) * _TH, wpad)
+                        wtb, (ii * dh, 0), ((ii + 1) * dh, dwp)
                     )
-                    rsel = (eb.reshape(dh, 2, wpad) * wrow).sum(axis=1)
-                    quad = doth(rsel, s_cols) * keep  # (dh, dwp)
                     nxt[
                         ii,
                         pl.ds(ROW_HALO4 + r0 // 2, dh),
                         pl.ds(COL_HALO4, dwp),
-                    ] = quad
+                    ] = eb * keep
         out_ref[0, li, :] = jnp.stack(
             [num_acc, den_acc] + [jnp.float32(0.0)] * 6
         )

@@ -28,12 +28,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from turbo_metrics_tpu.ops.gaussian import gaussian_window
 from turbo_metrics_tpu.ops.pallas.scale_stats import (
     COL_HALO4,
     ROW_HALO4,
     _band_matrix_h,
     _band_matrix_wt,
+    _pair_sum_cols,
     _round_up,
 )
 from turbo_metrics_tpu.ops.pallas.windowed import _C1, _C2, RADIUS
@@ -41,6 +44,17 @@ from turbo_metrics_tpu.ops.pallas.windowed import _C1, _C2, RADIUS
 _TH = 64
 _WT_CHUNK = 128
 _WT_WIN = 144
+
+# Round-5 rework: the tile loop is a lax.fori_loop (the body is traced ONCE
+# per level instead of nth times), which collapses the register pressure
+# that pinned this kernel at the w128 band — the w64 chunking that blew
+# Mosaic's register allocator under the fully unrolled program (207 MB of
+# spill slots, round-4 job 104) now compiles.  Knobs kept for A/B jobs:
+# TAIL_W_CHUNK selects the W band (64 matches the windowed kernels'
+# measured optimum), TAIL_FORI=0 restores the unrolled python loop.
+TAIL_W_CHUNK = int(os.environ.get("TM_MSSSIM_TAIL_WCHUNK", "64"))
+TAIL_FORI = os.environ.get("TM_MSSSIM_TAIL_FORI", "1") != "0"
+_W_WINS = {128: 144, 64: 80}
 
 
 def _tail_dims(h1: int, w1: int, levels: int):
@@ -128,8 +142,13 @@ def _msssim_tail_kernel(
             h2, w2 = dims[li + 1][0], dims[li + 1][1]
             nxt = planes[li + 1][0]
             dwp = wpad // 2
-        accs = [jnp.float32(0.0)] * 6  # (lum*cs, cs) x 3 channels
-        for t in range(nth):
+
+        def tile_body(t, accs, li=li, h=h, w=w, wpad=wpad, emit=emit,
+                      nxt=planes[li + 1][0] if emit else None,
+                      dwp=wpad // 2,
+                      h2=dims[li + 1][0] if emit else 0,
+                      w2=dims[li + 1][1] if emit else 0):
+            cols = COL_HALO4 + wpad + COL_HALO4
             r0 = t * _TH
             if li == 0:
                 a3 = t1[slot, :, pl.ds(r0, _TH + 16), pl.ds(0, cols)]
@@ -185,6 +204,7 @@ def _msssim_tail_kernel(
                 (mri >= RADIUS) & (mri < h - RADIUS)
                 & (mci >= RADIUS) & (mci < w - RADIUS)
             ).astype(jnp.float32)
+            accs = list(accs)
             for c in range(3):
                 mu1, mu2 = bq(4 * c), bq(4 * c + 1)
                 s_sum, s12 = bq(4 * c + 2), bq(4 * c + 3)
@@ -200,10 +220,6 @@ def _msssim_tail_kernel(
 
             if emit:
                 dh = _TH // 2
-                s_cols = (
-                    jax.lax.broadcasted_iota(jnp.int32, (wpad, dwp), 0) // 2
-                    == jax.lax.broadcasted_iota(jnp.int32, (wpad, dwp), 1)
-                ).astype(jnp.float32)
                 rid2 = (
                     jax.lax.broadcasted_iota(jnp.int32, (dh, dwp), 0)
                     + r0 // 2
@@ -211,20 +227,40 @@ def _msssim_tail_kernel(
                 cid2 = jax.lax.broadcasted_iota(jnp.int32, (dh, dwp), 1)
                 keep = ((rid2 < h2) & (cid2 < w2)).astype(jnp.float32)
                 quarter = np.float32(0.25)
-                for img_idx, src3 in enumerate((a3, b3)):
+                # Packed column pair-sum (scale_stats._pair_sum_cols /
+                # DS_ENGINE): all six planes' row sums in ONE tall operand
+                # — the per-plane dense HIGHEST one-hot matmul this
+                # replaces cost more MXU cycles than the whole W blur.
+                rsums = []
+                for src3 in (a3, b3):
                     for c in range(3):
                         q = jax.lax.slice(
                             src3,
                             (c, ROW_HALO4, COL_HALO4),
                             (c + 1, ROW_HALO4 + _TH, COL_HALO4 + wpad),
                         )[0]
-                        rsum = q.reshape(dh, 2, wpad).sum(axis=1)
-                        quad = doth(rsum, s_cols) * quarter * keep
+                        rsums.append(q.reshape(dh, 2, wpad).sum(axis=1))
+                packed = jnp.concatenate(rsums, axis=0)  # (6*dh, wpad)
+                quad_all = _pair_sum_cols(packed, wpad, dwp, dwp)
+                for img_idx in (0, 1):
+                    for c in range(3):
+                        slot_ = img_idx * 3 + c
+                        quad = jax.lax.slice(
+                            quad_all, (slot_ * dh, 0), (slot_ * dh + dh, dwp)
+                        )
                         nxt[
                             img_idx, c,
                             pl.ds(ROW_HALO4 + r0 // 2, dh),
                             pl.ds(COL_HALO4, dwp),
-                        ] = quad
+                        ] = quad * quarter * keep
+            return tuple(accs)
+
+        accs = (jnp.float32(0.0),) * 6  # (lum*cs, cs) x 3 channels
+        if TAIL_FORI:
+            accs = jax.lax.fori_loop(0, nth, tile_body, accs)
+        else:
+            for t in range(nth):
+                accs = tile_body(t, accs)
         for c in range(3):
             out_ref[0, li, c, :] = jnp.stack(
                 [accs[2 * c], accs[2 * c + 1]] + [jnp.float32(0.0)] * 6
@@ -261,11 +297,15 @@ def msssim_tail_pallas(
     hmat = _band_matrix_h(
         min(hch, _TH), min(hch, _TH) + 16, taps, ROW_HALO4 - RADIUS
     )
-    # W stays at the 128-chunk band here: the tail is ONE unrolled program
-    # (levels x tiles x chunks); 64-chunks doubled its matmul count and blew
-    # Mosaic's register allocator (207 MB of spill slots, compile failure
-    # on chip) — measured, do not inherit windowed.W_CHUNK.
-    wmat = _band_matrix_wt(taps)
+    # W band: under the round-4 fully-unrolled program this was pinned at
+    # the 128-chunk band (64-chunks doubled the unrolled matmul count and
+    # blew Mosaic's register allocator — 207 MB of spill slots, on-chip
+    # compile failure, job 104).  The fori_loop tile body (TAIL_FORI)
+    # removed that wall; TAIL_W_CHUNK picks the band, decoupled from
+    # windowed.W_CHUNK so A/B jobs can sweep it independently.
+    # (wpad is 256-aligned at every level, so any chunk in _W_WINS divides.)
+    wch = TAIL_W_CHUNK if TAIL_W_CHUNK in _W_WINS else _WT_CHUNK
+    wmat = _band_matrix_wt(taps, wch, _W_WINS[wch])
 
     scratch = [
         pltpu.VMEM((2, 3, rows1, cols1), jnp.float32),
