@@ -58,6 +58,7 @@ _SLOW = {
     "test_engine_fused_vmaf",
     "test_static_scene_zero_motion",
     "test_full_subscores_interpret_matches_jnp",
+    "test_padded_multi_step_interpret_matches_generic",
 }
 
 
@@ -72,6 +73,32 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
         else:
             item.add_marker(pytest.mark.quick)
+
+
+# Drift guard for the tier split: _SLOW keys on exact test names, so a new
+# test (or a new heavy parametrization of an existing one) silently lands
+# in the quick gate.  Fail any quick-marked item whose call phase exceeds
+# the budget, with instructions to classify it — 3x the 20 s slow-list
+# criterion so load jitter on borderline items doesn't flake the gate.
+_QUICK_BUDGET_S = 60.0
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    outcome = yield
+    rep = outcome.get_result()
+    if (
+        rep.when == "call"
+        and rep.passed
+        and call.duration > _QUICK_BUDGET_S
+        and item.get_closest_marker("slow") is None
+    ):
+        rep.outcome = "failed"
+        rep.longrepr = (
+            f"{item.name} took {call.duration:.1f}s but is in the QUICK "
+            f"dev gate (budget {_QUICK_BUDGET_S:.0f}s): add it to "
+            "tests/conftest.py _SLOW (the >20s tier) or shrink it."
+        )
 
 
 @pytest.fixture

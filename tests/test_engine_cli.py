@@ -320,3 +320,61 @@ def test_buffered_step_rebuilds_on_batch_change():
     step((np.zeros((2, 8, 8)),), (np.zeros((2, 8, 8)),), {})
     step((np.zeros((4, 8, 8)),), (np.zeros((4, 8, 8)),), {})
     assert made == [4, 2, 4]
+
+
+def test_padded_multi_step_interpret_matches_generic(rng):
+    """Engine-level coverage of the padded multi-metric fast path OFF-CHIP
+    (ADVICE r4 item 4): engine.PADDED_INTERPRET routes _get_step's padded
+    branch through the Pallas kernels' interpret mode on CPU; every output
+    must match the generic step (psnr/ssim/msssim are the same math, the
+    SSIMULACRA2 padded chain agrees to interpret-mode fp tolerance, and
+    the luma families are identical jnp subgraphs in both branches)."""
+    import turbo_metrics_tpu.engine as eng_mod
+    from turbo_metrics_tpu.color.characteristics import height_fallback
+    from turbo_metrics_tpu.io.frame_source import RawFrame
+    from turbo_metrics_tpu.ops.pallas.convert import padded_conversion_fits
+
+    w, h = 192, 96
+    assert padded_conversion_fits(h, w)
+    cc = (height_fallback(h), "limited")
+
+    def frames(dist):
+        out = []
+        for i in range(2):
+            y, u, v = _smooth_yuv(rng, w, h, i * 0.37)
+            if dist:
+                y = np.clip(
+                    y.astype(np.int16) + rng.integers(-5, 6, y.shape), 0, 255
+                ).astype(np.uint8)
+            out.append(RawFrame(y=y, uv=np.stack([u, v], -1), depth=8))
+        return out
+
+    f_ref, f_dis = frames(False), frames(True)
+    m = Metrics(psnr=True, ssim=True, msssim=True, ssimulacra2=True,
+                xpsnr=True, vmaf=True)
+
+    generic = TurboMetrics(w, h, m, batch=2).compute_frames(
+        f_ref, cc, f_dis, cc
+    )
+    assert not eng_mod.PADDED_INTERPRET
+    eng_mod.PADDED_INTERPRET = True
+    try:
+        padded = TurboMetrics(w, h, m, batch=2).compute_frames(
+            f_ref, cc, f_dis, cc
+        )
+    finally:
+        eng_mod.PADDED_INTERPRET = False
+
+    for a, b in zip(generic, padded):
+        assert a.psnr == pytest.approx(b.psnr, abs=1e-4)
+        assert a.ssim == pytest.approx(b.ssim, abs=1e-6)
+        assert a.msssim == pytest.approx(b.msssim, abs=1e-6)
+        # Interpret mode evaluates the padded chain and the jnp chain
+        # with different fp contraction (scale_stats docstring: the
+        # divergence does not exist on TPU, where the padded path is
+        # measured bit-identical); hold it to the +-0.05 score budget.
+        assert a.ssimulacra2 == pytest.approx(b.ssimulacra2, abs=0.05)
+        assert a.xpsnr == pytest.approx(b.xpsnr, abs=1e-6)
+        assert a.vmaf_vif == pytest.approx(b.vmaf_vif, abs=1e-6)
+        assert a.vmaf_adm == pytest.approx(b.vmaf_adm, abs=1e-6)
+        assert a.vmaf_motion == pytest.approx(b.vmaf_motion, abs=1e-6)

@@ -103,9 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--vmaf-integer",
         action="store_true",
         help=(
-            "compute the VMAF VIF/ADM features with the fixed-point "
-            "(integer) conventions — libvmaf's default path — instead of "
-            "the float pipeline (see README 'Feature fidelity notes')."
+            "compute the VMAF VIF/ADM features with libvmaf-STYLE "
+            "fixed-point (integer) conventions instead of the float "
+            "pipeline.  The schedule is self-specified 32-bit fixed "
+            "point, not verified bit-identical to libvmaf's 64-bit "
+            "integer_vif.c/integer_adm.c (see README 'Feature fidelity "
+            "notes' and docs/VALIDATION.md)."
         ),
     )
     return p

@@ -125,6 +125,12 @@ class MetricsResults:
     vmaf_adm_scale3: Optional[MetricAggregate] = None
 
 
+# Test-only knob: run the padded fast paths off-chip through the Pallas
+# kernels' interpret mode (see _get_step's padded_geom_ok) so the
+# engine-level integration of the padded multi-metric branch is covered by
+# the CPU test suite.  Never set in production (interpret is ~1000x slower).
+PADDED_INTERPRET = False
+
 METRIC_NAMES = (
     "psnr", "ssim", "msssim", "ssimulacra2", "xpsnr",
     "vmaf", "vmaf_motion", "vmaf_vif",
@@ -569,13 +575,19 @@ class TurboMetrics:
                 padded_conversion_fits,
             )
 
-            can_padded = (
+            padded_geom_ok = (
                 spec_ref.kind == "yuv420"
                 and spec_dis.kind == "yuv420"
                 and spec_ref.chroma == 420
                 and spec_dis.chroma == 420
-                and jax.default_backend() == "tpu"
                 and padded_conversion_fits(self.height, self.width)
+            )
+            # PADDED_INTERPRET (module knob, tests only) runs the padded
+            # multi-metric branch off-chip through the kernels' interpret
+            # mode, so the engine-level integration is testable on CPU.
+            _interp = PADDED_INTERPRET and jax.default_backend() != "tpu"
+            can_padded = padded_geom_ok and (
+                jax.default_backend() == "tpu" or _interp
             )
             if can_padded:
                 from turbo_metrics_tpu.ops.pallas.convert import (
@@ -597,6 +609,7 @@ class TurboMetrics:
                             matrix=spec_ref.matrix,
                             transfer=spec_ref.transfer,
                             full_range=spec_ref.full_range,
+                            interpret=_interp,
                         )
                     p12 = yuv420_to_linear_rgb_padded(
                         y_r, uv_r, top_buf, 0,
@@ -604,6 +617,7 @@ class TurboMetrics:
                         matrix=spec_ref.matrix,
                         transfer=spec_ref.transfer,
                         full_range=spec_ref.full_range,
+                        interpret=_interp,
                     )
                     return yuv420_to_linear_rgb_padded(
                         y_d, uv_d, p12, 1,
@@ -611,6 +625,7 @@ class TurboMetrics:
                         matrix=spec_dis.matrix,
                         transfer=spec_dis.transfer,
                         full_range=spec_dis.full_range,
+                        interpret=_interp,
                     )
 
             if only_s2 and can_padded:
@@ -658,6 +673,7 @@ class TurboMetrics:
                                 full_range=spec_ref.full_range,
                                 ds_bufs=bufs,
                                 padded_planes=ref_arrays,
+                                interpret=_interp,
                             )
                             return {"ssimulacra2_subscores": sub}, ds_out
                     else:
@@ -665,7 +681,7 @@ class TurboMetrics:
                             p12 = convert(ref_arrays, dis_arrays, bufs[0])
                             sub, ds_out = ssimulacra2_subscores_from_padded(
                                 p12, height, width, num_scales=num_scales,
-                                ds_bufs=bufs[1],
+                                ds_bufs=bufs[1], interpret=_interp,
                             )
                             return (
                                 {"ssimulacra2_subscores": sub},
@@ -755,6 +771,7 @@ class TurboMetrics:
                         want_ssim=metrics.ssim,
                         want_msssim=metrics.msssim,
                         ms_ds_buf=ms_bufs[0] if ms_bufs else None,
+                        interpret=_interp,
                     )
                     ms_out = [out.pop("_ms_ds_buf")] if ms_bufs else []
                     ds_out = []
@@ -763,6 +780,7 @@ class TurboMetrics:
                             ssimulacra2_subscores_from_padded(
                                 p12, height, width,
                                 num_scales=num_scales, ds_bufs=ds_bufs,
+                                interpret=_interp,
                             )
                         )
                     _luma_metric_outs(

@@ -345,7 +345,13 @@ class NativeVideoSource(FrameSource):
         self._lib.tm_close(self._h)
         self._h = self._lib.tm_open(path.encode())
         if not self._h:
-            raise RuntimeError(f"could not reopen video: {path}")
+            # Leave _h falsy and report unseekable: seek_to_frame's
+            # contract is to return False so callers fall back to
+            # sequential decode — raising here would turn a recoverable
+            # reopen failure into a pool-fatal error in
+            # ChunkedVideoSource._worker.
+            self._pushed_back = []
+            return False
         self._pushed_back = []
         return True
 

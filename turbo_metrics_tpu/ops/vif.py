@@ -90,6 +90,23 @@ def vif_scale_stats(
         backend = default_backend()
     h, w = ref.shape[-2], ref.shape[-1]
     if (
+        backend == "jnp"
+        and jax.devices()[0].platform == "tpu"
+        and h * w >= 1280 * 720
+    ):
+        # Known device-killer: the jnp slice-FMA formulation at >=720p-class
+        # areas faults the TPU through the axon tunnel (observed at 1080p
+        # batch-8 inside the multi-metric step, round-4 job 115; the
+        # JaxRuntimeError poisons every subsequent op in the process, see
+        # docs/PERFORMANCE.md).  The fused Pallas kernel is the measured
+        # winner at these shapes anyway, so a public kwarg must not be able
+        # to take down the device: hard error with the routing hint.
+        raise ValueError(
+            "vif_scale_stats(backend='jnp') is disabled on TPU for images "
+            f">= 720p ({h}x{w}): this formulation faults the device "
+            "(round-4 job 115). Use the default backend='pallas'."
+        )
+    if (
         backend in ("pallas", "interpret")
         and ref.ndim == 3
         and min(h, w) >= 32
