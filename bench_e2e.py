@@ -35,19 +35,23 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_clip(path: str, *, seed: int, codec: str = "MPG2") -> None:
+def make_clip(
+    path: str, *, seed: int, codec: str = "MPG2", w: int = None, h: int = None
+) -> None:
     import cv2
 
+    w = w or W
+    h = h or H
     os.makedirs(CACHE, exist_ok=True)
-    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*codec), 25, (W, H))
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*codec), 25, (w, h))
     if not vw.isOpened():
         raise RuntimeError(f"encoder {codec} unavailable")
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:H, 0:W]
+    yy, xx = np.mgrid[0:h, 0:w]
     base = (128 + 64 * np.sin(xx / 37.0) * np.cos(yy / 23.0)).astype(np.uint8)
-    noise = rng.integers(0, 14, (H, W), dtype=np.uint8)
+    noise = rng.integers(0, 14, (h, w), dtype=np.uint8)
     for i in range(NFRAMES):
-        img = np.empty((H, W, 3), np.uint8)
+        img = np.empty((h, w, 3), np.uint8)
         plane = np.roll(base, 7 * i, axis=1)
         img[:, :, 0] = plane
         img[:, :, 1] = np.roll(plane, i, axis=0)

@@ -371,9 +371,21 @@ class NativeVideoSource(FrameSource):
         # AFTER the target, measured one full GOP late); retry with a
         # growing backward margin until the first decoded frame is at or
         # before the target, then decode-discard forward to it exactly.
+        #
+        # The margin is ADAPTIVE (round 5): when a probe lands late by L
+        # frames, the next attempt backs off by exactly L + 2 frames instead
+        # of a whole second (a second = a whole extra GOP-or-more of
+        # decode-discard per chunk — measured 2.5x total decode work at
+        # chunk=16 on the chunked pool), and the successful margin is
+        # REMEMBERED per source, so a pool worker pays the probe ladder only
+        # on its first chunk.  Whole-second margins remain as the fallback
+        # tail.
         target = self._pts_for_frame(n)
+        frame_dur = max(self._pts_for_frame(1) - self._pts_for_frame(0), 1)
         f = None
-        for margin in (0, second, 4 * second, 16 * second):
+        margin = getattr(self, "_seek_margin_hint", 0)
+        fallback = [4 * second, 16 * second]
+        for _attempt in range(6):
             ts = max(target - margin, int(i.start_pts))
             if self._lib.tm_seek(self._h, ts) != 0:
                 return False
@@ -383,11 +395,17 @@ class NativeVideoSource(FrameSource):
                 return False  # seek target beyond EOF
             if self.last_pts == self.AV_NOPTS:
                 return False  # no timestamps: index unknowable after a seek
-            if self.frame_index(self.last_pts) <= n:
+            late = self.frame_index(self.last_pts) - n
+            if late <= 0:
+                self._seek_margin_hint = margin
                 break  # landed at or before the target: decode forward
             f = None
             if ts <= int(i.start_pts):
                 break  # even the earliest seek point decodes past n
+            grown = margin + (late + 2) * frame_dur
+            if fallback and grown >= fallback[0]:
+                grown = fallback.pop(0)
+            margin = grown
         if f is None:
             # Decode-from-start fallback (unavailable for callback streams).
             if not self._reopen():

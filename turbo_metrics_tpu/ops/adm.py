@@ -100,38 +100,42 @@ def center_region(h: int, w: int) -> tuple[int, int, int, int]:
     return top, h - top, left, w - left
 
 
-def _filter_dec(x: jax.Array, taps: np.ndarray) -> jax.Array:
-    """DWT analysis along the last axis: symmetric extension, output index i
-    correlates taps against input starting at 2*i - 1, ceil(d/2) outputs
-    (libvmaf adm_dwt2 convention).  Decimation via pair-select reshape (no
-    strided slices, which Mosaic lowers poorly)."""
+def _filter_dec(x: jax.Array, taps: np.ndarray, axis: int = -1) -> jax.Array:
+    """DWT analysis along ``axis`` (-1 or -2): symmetric extension, output
+    index i correlates taps against input starting at 2*i - 1, ceil(d/2)
+    outputs (libvmaf adm_dwt2 convention).
+
+    TPU layout notes (round-5 rework, bit-identical math): the tap
+    accumulation runs at FULL width and the stride-2 decimation happens
+    ONCE on the accumulated result — selecting even positions commutes
+    exactly with the weighted add, and one pair-select relayout replaces
+    the four per-tap ones the old form paid.  The column direction
+    (axis=-2) filters in place over sublanes, so the DWT needs no
+    transposes at all (the old form swapaxes'd every band twice)."""
     n = len(taps)
     w = [jnp.float32(v) for v in taps]
-    d = x.shape[-1]
+    d = x.shape[axis]
     co = (d + 1) // 2
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(1, n - 1)], mode="symmetric")
+    pads = [(0, 0)] * x.ndim
+    pads[axis if axis >= 0 else x.ndim + axis] = (1, n - 1 + (2 * co - d))
+    xp = jnp.pad(x, pads, mode="symmetric")
     acc = None
     for k in range(n):
-        s = jax.lax.slice_in_dim(xp, k, k + 2 * co, axis=-1)
-        s = s.reshape(*s.shape[:-1], co, 2)[..., 0]
+        s = jax.lax.slice_in_dim(xp, k, k + 2 * co, axis=axis)
         acc = s * w[k] if acc is None else acc + s * w[k]
-    return acc
+    if axis in (-1, x.ndim - 1):
+        return acc.reshape(*acc.shape[:-1], co, 2)[..., 0]
+    return acc.reshape(*acc.shape[:-2], co, 2, acc.shape[-1])[..., 0, :]
 
 
 def _dwt_level(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One 2-D db2 DWT level of (..., H, W) -> (A, H, V, D) at ceil-half size."""
     lo_r = _filter_dec(x, DB2_LO)
     hi_r = _filter_dec(x, DB2_HI)
-
-    def cols(y, taps):
-        yt = jnp.swapaxes(y, -1, -2)
-        out = _filter_dec(yt, taps)
-        return jnp.swapaxes(out, -1, -2)
-
-    a = cols(lo_r, DB2_LO)
-    v = cols(lo_r, DB2_HI)  # vertical detail: highpass along columns
-    h = cols(hi_r, DB2_LO)  # horizontal detail: highpass along rows
-    d = cols(hi_r, DB2_HI)
+    a = _filter_dec(lo_r, DB2_LO, axis=-2)
+    v = _filter_dec(lo_r, DB2_HI, axis=-2)  # vertical detail
+    h = _filter_dec(hi_r, DB2_LO, axis=-2)  # horizontal detail
+    d = _filter_dec(hi_r, DB2_HI, axis=-2)
     return a, h, v, d
 
 
