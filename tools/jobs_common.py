@@ -100,3 +100,37 @@ def score_delta(sub_a: np.ndarray, sub_b: np.ndarray) -> float:
     sa = postprocess_score(sub_a)
     sb = postprocess_score(sub_b)
     return float(np.abs(sa - sb).max())
+
+
+def reload_stack(engine: bool = False):
+    """Reload the kernel/model module chain inside the warm jobd process so
+    a job picks up on-disk edits (dependency order matters: from-imports
+    rebind on reload of the importer)."""
+    import importlib
+
+    mods = [
+        "turbo_metrics_tpu.ops.pallas.scale_stats",
+        "turbo_metrics_tpu.ops.pallas.scale_stats_legacy",
+        "turbo_metrics_tpu.ops.pallas.scale_tail",
+        "turbo_metrics_tpu.ops.pallas.convert",
+        "turbo_metrics_tpu.ops.pallas.windowed",
+        "turbo_metrics_tpu.ops.pallas.windowed_tail",
+        "turbo_metrics_tpu.ops.pallas.vif",
+        "turbo_metrics_tpu.ops.pallas.vif_tail",
+        "turbo_metrics_tpu.ops.pallas.adm",
+        "turbo_metrics_tpu.ops.pallas.motion",
+        "turbo_metrics_tpu.ops.pallas.xpsnr",
+        "turbo_metrics_tpu.ops.vif",
+        "turbo_metrics_tpu.ops.adm",
+        "turbo_metrics_tpu.ops.vmaf_motion",
+        "turbo_metrics_tpu.ops.xpsnr_ops",
+        "turbo_metrics_tpu.ops.quality",
+        "turbo_metrics_tpu.models.ssimulacra2",
+    ] + (["turbo_metrics_tpu.engine"] if engine else [])
+    import sys as _sys
+
+    out = []
+    for m in mods:
+        if m in _sys.modules:
+            out.append(importlib.reload(_sys.modules[m]))
+    return out
