@@ -240,8 +240,11 @@ def test_fused_yuv_scale0_interpret(rng, depth, w_pass):
 
 def test_mxuC_engine_matches_default(rng):
     """The consistent-limb packed MXU blur engine ('mxuC', round 3) must
-    track the exact default engine at the 1e-6 norm level (its design
-    guarantees f32-level consistency; docs/PERFORMANCE.md round 3)."""
+    track the exact default engine at the 1e-6 norm level with the full
+    2-limb scheme (its design guarantees f32-level consistency;
+    docs/PERFORMANCE.md round 3), and at the 1e-5 level with the round-5
+    default that drops the O(2^-17) lo x lo cross-term dots (BAND_LOLO)."""
+    from turbo_metrics_tpu.ops.pallas import scale_stats as ss
     from turbo_metrics_tpu.ops.pallas.scale_stats import (
         fused_scale_pallas_v4,
         norms_from_sums,
@@ -259,12 +262,18 @@ def test_mxuC_engine_matches_default(rng):
         p12, h, w, emit_ds=False, w_pass="vpu", precision="highest",
         interpret=True,
     )
-    got, _ = fused_scale_pallas_v4(
-        p12, h, w, emit_ds=False, w_pass="mxuC", interpret=True
-    )
     nb = np.asarray(norms_from_sums(base, h * w))
-    ng = np.asarray(norms_from_sums(got, h * w))
-    assert np.abs(ng - nb).max() < 3e-6
+    old_lolo = ss.BAND_LOLO
+    try:
+        for lolo, tol in ((True, 3e-6), (False, 1e-5)):
+            ss.BAND_LOLO = lolo
+            got, _ = fused_scale_pallas_v4(
+                p12, h, w, emit_ds=False, w_pass="mxuC", interpret=True
+            )
+            ng = np.asarray(norms_from_sums(got, h * w))
+            assert np.abs(ng - nb).max() < tol, (lolo, np.abs(ng - nb).max())
+    finally:
+        ss.BAND_LOLO = old_lolo
 
 
 def test_ssim_pallas_matches_jnp(rng):

@@ -134,3 +134,64 @@ def reload_stack(engine: bool = False):
         if m in _sys.modules:
             out.append(importlib.reload(_sys.modules[m]))
     return out
+
+def time_multi(batch=8, iters=12, reps=3, label="", metrics=None,
+               vmaf_integer=False):
+    """Device-resident ms/batch of the engine's 1080p multi-metric padded
+    step (the exact program the CLI runs for `-m` combinations), inputs
+    staged once.  Returns (ms, out0) where out0 is the first step's raw
+    output dict fetched to host (for score-parity checks between configs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from turbo_metrics_tpu import engine as eng
+
+    M = metrics or eng.Metrics(psnr=True, ssim=True, msssim=True,
+                               ssimulacra2=True, xpsnr=True, vmaf=True)
+    tm = eng.TurboMetrics(W, H, M, batch=batch, vmaf_integer=vmaf_integer)
+    spec = eng.ConvertSpec("yuv420", 8, "bt709", "bt709", False)
+    step = tm._get_step(spec, spec)
+
+    y_ref, uv_ref, y_dis, uv_dis = make_yuv(batch)
+    ref_arrays = (jax.device_put(y_ref), jax.device_put(uv_ref))
+    dis_arrays = (jax.device_put(y_dis), jax.device_put(uv_dis))
+    aux = {}
+    if M.xpsnr:
+        prev_lead = np.concatenate([y_ref[0:1], y_ref[:-1]], axis=0)
+        aux["prev_ref"] = (jax.device_put(prev_lead), ref_arrays[1])
+    if M.vmaf:
+        from turbo_metrics_tpu.ops.vmaf_motion import integer_blur
+
+        prev_blur = jax.jit(lambda y: integer_blur(y, depth=8))(
+            ref_arrays[0][0:1]
+        )[0]
+        aux["vmaf_prev_blur"] = jax.device_put(np.asarray(prev_blur))
+    jax.block_until_ready(ref_arrays)
+
+    out = step(ref_arrays, dis_arrays, aux)
+    jax.block_until_ready(out)
+    out0 = {k: np.asarray(v, dtype=np.float64) for k, v in out.items()}
+    import time as _t
+
+    best = 1e9
+    for _ in range(reps):
+        t0 = _t.perf_counter()
+        for _i in range(iters):
+            out = step(ref_arrays, dis_arrays, aux)
+        jax.block_until_ready(out)
+        best = min(best, (_t.perf_counter() - t0) / iters)
+    ms = best * 1e3
+    fps = batch / best
+    print(f"{label or 'multi'}: {ms:.2f} ms/b{batch} = {fps:.0f} fps "
+          f"({fps * H * W / 1e6:.0f} Mpx/s)", flush=True)
+    return ms, out0
+
+
+def multi_delta(a: dict, b: dict) -> dict:
+    """Max |delta| per output key between two time_multi out dicts."""
+    out = {}
+    for k in a:
+        if k in b and hasattr(a[k], "shape"):
+            out[k] = float(np.abs(np.asarray(a[k], np.float64)
+                                  - np.asarray(b[k], np.float64)).max())
+    return out

@@ -237,6 +237,76 @@ def _split_bf16_np(m: np.ndarray) -> np.ndarray:
     return np.stack([hi, lo])
 
 
+def _tap_limbs_zs(taps) -> tuple[np.ndarray, np.ndarray]:
+    """bf16-exact (hi, lo) f64 tap limbs with sum(lo) driven toward 0.
+
+    With the lo x lo cross-term dots dropped (BAND_LOLO=False), the data's
+    lo limb sees the filter hi while its hi limb sees hi + lo; any nonzero
+    sum(lo) is then an effective TAP-SUM mismatch between the two data
+    limbs, which the score punishes brutally (~0.05 per 1.3e-6 of sum
+    delta, job 203: natural split = 0.0144 score delta).  Greedy single-ulp
+    flips steer the hi rounding so the residual sums to ~0 (each flipped
+    residual is still captured exactly by lo, so tap SHAPE error stays
+    ~2^-17), then micro-flips on lo push |sum(lo)| to the lo-ulp level
+    (~1e-9): both data limbs see the same effective sum and the standing
+    kappa correction applies to both."""
+    import ml_dtypes
+
+    bf = ml_dtypes.bfloat16
+    t = np.asarray(taps, np.float64)
+    n = t.size
+
+    def q(v):
+        return np.asarray(v, np.float32).astype(bf).astype(np.float64)
+
+    def adj(v, up: bool) -> float:
+        a = np.asarray([v], np.float32).astype(bf)
+        if float(a[0]) == 0.0:
+            bits = np.asarray([0x0001 if up else 0x8001], np.uint16)
+        else:
+            b = a.view(np.uint16)
+            neg = bool(b[0] & np.uint16(0x8000))
+            bits = b + np.uint16(1) if (up != neg) else b - np.uint16(1)
+        return float(bits.view(bf)[0])
+
+    hi = q(t)
+    for _ in range(4 * n):
+        e = (t - hi).sum()
+        best = (abs(e), None, 0.0)
+        for k in range(n):
+            cand = adj(hi[k], e > 0)
+            if abs(t[k] - cand) > abs(t[k]) * 2.0**-6:
+                continue  # keep the residual within lo's exact range
+            e2 = abs(e - (cand - hi[k]))
+            if e2 < best[0]:
+                best = (e2, k, cand)
+        if best[1] is None:
+            break
+        hi[best[1]] = best[2]
+    lo = q(t - hi)
+    for _ in range(4 * n):
+        e = lo.sum()
+        best = (abs(e), None, 0.0)
+        for k in range(n):
+            cand = adj(lo[k], e < 0)
+            e2 = abs(e + (cand - lo[k]))
+            if e2 < best[0]:
+                best = (e2, k, cand)
+        if best[1] is None:
+            break
+        lo[best[1]] = best[2]
+    return hi, lo
+
+
+def _split_band_zs(build, taps) -> np.ndarray:
+    """(2, ...) bf16 band-matrix limb stack from the zero-sum tap limbs:
+    ``build(tap_vector)`` must place its (bf16-exact) entries verbatim."""
+    import ml_dtypes
+
+    hi, lo = _tap_limbs_zs(taps)
+    return np.stack([build(hi), build(lo)]).astype(ml_dtypes.bfloat16)
+
+
 def _dot3(xhi, xlo, whi, wlo, dims):
     acc = jax.lax.dot_general(
         xhi, whi, (dims, ((), ())), preferred_element_type=jnp.float32
@@ -330,14 +400,14 @@ def _mxuc_w_band(taps, w_layout: str) -> np.ndarray:
     2/4x the matmul instructions), 'r' = natural-orientation
     right-multiply (no transposes, ~2.7x the MACs)."""
     if w_layout == "r":
-        return _split_bf16_np(_band_matrix_wchunk(taps))
+        return _split_band_zs(_band_matrix_wchunk, taps)
     if w_layout == "t256":
-        return _split_bf16_np(_band_matrix_wt(taps, 256, 272))
+        return _split_band_zs(lambda tp: _band_matrix_wt(tp, 256, 272), taps)
     if w_layout == "t64":
-        return _split_bf16_np(_band_matrix_wt(taps, 64, 80))
+        return _split_band_zs(lambda tp: _band_matrix_wt(tp, 64, 80), taps)
     if w_layout == "t32":
-        return _split_bf16_np(_band_matrix_wt(taps, 32, 48))
-    return _split_bf16_np(_band_matrix_wt(taps))
+        return _split_band_zs(lambda tp: _band_matrix_wt(tp, 32, 48), taps)
+    return _split_band_zs(_band_matrix_wt, taps)
 
 
 def _maps_and_sums(
@@ -426,6 +496,15 @@ def _maps_and_sums(
 # knob: flip only with a measured score delta inside the 0.05 budget.
 BAND_LIMBS: int = int(os.environ.get("TM_BAND_LIMBS", "2"))
 
+# Keep the lo-matrix x lo-data cross terms (hm1@pa1, hm1@pb1, w1@x1) in the
+# 2-limb scheme.  Those products are O(2^-17) relative — the same order as
+# the 2-limb tap representation error itself — yet they cost 3 of the 14
+# MXU dots per tile (H-A 4->3, H-B 5->4, W 5->4 when dropped).  The
+# highest-order lo term of each pass (lo-matrix x hi-data) is always kept,
+# which is what separates this from BAND_LIMBS=1 (score delta 0.0079,
+# job 201); dropping only lo x lo measured a score delta of ~1e-4.
+BAND_LOLO: bool = os.environ.get("TM_BAND_LOLO", "0") == "1"
+
 
 def _tapsum_kappa(taps) -> float:
     """Exact post-blur rescale for the limb-truncated tap representation.
@@ -438,14 +517,12 @@ def _tapsum_kappa(taps) -> float:
     blurred pack is rescaled by (s_f32 / s_l)^2 (both separable passes),
     matching the oracle's effective filter sum to f64 accuracy; the
     remaining per-tap shape difference (2^-17 at 2 limbs, sum-matched) is
-    harmless."""
-    import ml_dtypes
-
-    t = np.asarray(taps, np.float32)
-    hi = t.astype(ml_dtypes.bfloat16).astype(np.float64)
-    lo = (t - hi.astype(np.float32)).astype(ml_dtypes.bfloat16).astype(np.float64)
+    harmless.  Computed from the SAME zero-sum limbs the band matrices are
+    built from (_tap_limbs_zs), so the correction matches the kernel's
+    actual filter."""
+    hi, lo = _tap_limbs_zs(taps)
     s2l = hi.sum() if BAND_LIMBS == 1 else (hi + lo).sum()
-    sf = t.astype(np.float64).sum()
+    sf = np.asarray(taps, np.float32).astype(np.float64).sum()
     return float((sf / s2l) ** 2)
 
 
@@ -584,13 +661,17 @@ def _blur_pack_mxuC(
                 pa0c, pa1c = slr(pa0), slr(pa1)
                 ha_c = dot(hm0c, pa0c) + dot(hm0c, pa1c)
                 if BAND_LIMBS == 2:
-                    ha_c = ha_c + dot(hm1c, pa0c) + dot(hm1c, pa1c)
+                    ha_c = ha_c + dot(hm1c, pa0c)
+                    if BAND_LOLO:
+                        ha_c = ha_c + dot(hm1c, pa1c)
                 ha_cs.append(ha_c)
                 if nb:
                     pb0c, pb1c, pb2c = slr(pb0), slr(pb1), slr(pb2)
                     hb_c = dot(hm0c, pb0c) + dot(hm0c, pb1c) + dot(hm0c, pb2c)
                     if BAND_LIMBS == 2:
-                        hb_c = hb_c + dot(hm1c, pb0c) + dot(hm1c, pb1c)
+                        hb_c = hb_c + dot(hm1c, pb0c)
+                        if BAND_LOLO:
+                            hb_c = hb_c + dot(hm1c, pb1c)
                     hb_cs.append(hb_c)
             return (
                 jnp.concatenate(ha_cs, axis=0),
@@ -598,12 +679,16 @@ def _blur_pack_mxuC(
             )
         hae = dot(hm0, pa0) + dot(hm0, pa1)
         if BAND_LIMBS == 2:
-            hae = hae + dot(hm1, pa0) + dot(hm1, pa1)
+            hae = hae + dot(hm1, pa0)
+            if BAND_LOLO:
+                hae = hae + dot(hm1, pa1)
         hbe = None
         if nb:
             hbe = dot(hm0, pb0) + dot(hm0, pb1) + dot(hm0, pb2)
             if BAND_LIMBS == 2:
-                hbe = hbe + dot(hm1, pb0) + dot(hm1, pb1)
+                hbe = hbe + dot(hm1, pb0)
+                if BAND_LOLO:
+                    hbe = hbe + dot(hm1, pb1)
         return hae, hbe
 
     ha, hb = _dup("blurH", _h_pass, pa0, pa1, pb0, pb1, pb2)
@@ -643,7 +728,9 @@ def _blur_pack_mxuC(
             x0, x1, x2 = sl(s0_), sl(s1_), sl(s2_)
             c_ = dot(x0, w0j) + dot(x1, w0j) + dot(x2, w0j)
             if BAND_LIMBS == 2:
-                c_ = c_ + dot(x0, w1j) + dot(x1, w1j)
+                c_ = c_ + dot(x0, w1j)
+                if BAND_LOLO:
+                    c_ = c_ + dot(x1, w1j)
             chunks.append(c_)
         wt_nat = jnp.concatenate(chunks, axis=1) * jnp.float32(kappa)
     else:
@@ -674,7 +761,9 @@ def _blur_pack_mxuC(
                 x0, x1, x2 = sl(t0), sl(t1), sl(t2)
                 c_ = dot(w0j, x0) + dot(w0j, x1) + dot(w0j, x2)
                 if BAND_LIMBS == 2:
-                    c_ = c_ + dot(w1j, x0) + dot(w1j, x1)
+                    c_ = c_ + dot(w1j, x0)
+                    if BAND_LOLO:
+                        c_ = c_ + dot(w1j, x1)
                 chunks.append(c_)
             return jnp.concatenate(chunks, axis=0)
 
@@ -2010,7 +2099,10 @@ def fused_scale0_yuv_pallas(
         th_b, rows_b = hch, hch + 2 * ROW_HALO4
     hmat = _band_matrix_h(th_b, rows_b, taps, ROW_HALO4 - RADIUS)
     if precision == "bf16x3" or w_pass == "mxuC":
-        inputs.append(jnp.asarray(_split_bf16_np(hmat)))
+        inputs.append(jnp.asarray(_split_band_zs(
+            lambda tp: _band_matrix_h(th_b, rows_b, tp, ROW_HALO4 - RADIUS),
+            taps,
+        )))
         in_specs.append(
             pl.BlockSpec((2, th_b, rows_b), lambda *_: (0, 0, 0))
         )
@@ -2523,7 +2615,10 @@ def fused_scale_pallas_v4(
     inputs = [lin12_padded]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if precision == "bf16x3" or w_pass == "mxuC":
-        inputs.append(jnp.asarray(_split_bf16_np(hmat)))
+        inputs.append(jnp.asarray(_split_band_zs(
+            lambda tp: _band_matrix_h(th_b, rows_b, tp, ROW_HALO4 - RADIUS),
+            taps,
+        )))
         in_specs.append(
             pl.BlockSpec((2, th_b, rows_b), lambda *_: (0, 0, 0))
         )

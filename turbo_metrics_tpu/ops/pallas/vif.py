@@ -33,6 +33,7 @@ is tested against both the jnp path and the f64 oracle
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +48,32 @@ from turbo_metrics_tpu.ops.pallas.scale_stats import (
     TILE_W4,
     _band_matrix_h,
     _round_up,
+    _split3,
+    _split_band_zs,
+    _split_bf16,
+    _tap_limbs_zs,
 )
+
+# Consistent-limb blurs (the scale_stats mxuC scheme) instead of
+# Precision.HIGHEST: VMAF-path luma is integer-valued in 8-bit units
+# (<= 255.75 at 10-bit), so the 2-limb value split and the 3-limb product
+# split are EXACT on the data; the only perturbation is the 2-limb bf16
+# band taps (2^-17, tap-sum matched by kappa), and the blur(q) - mu^2
+# variance cancellation makes that a relative-to-local-variance error —
+# measured VIF score parity ~1e-6 vs the HIGHEST path (tolerance 2e-4).
+# Cost: stats H pass 30 -> 18 bf16 unit-dots, W pass 30 -> 20, emission
+# 12 -> 7 per tile.
+VIF_LIMB = os.environ.get("TM_VIF_LIMB", "1") != "0"
+
+
+def _kappa2(taps) -> np.float32:
+    """(sf / s2l)^2 post-blur rescale matching the 2-limb bf16 taps' sum to
+    the f32 taps' (cf. scale_stats._tapsum_kappa; one factor per separable
+    pass, H and W use the same window).  Computed from the same zero-sum
+    limbs the bands are built from."""
+    hi, lo = _tap_limbs_zs(taps)
+    sf = np.asarray(taps, np.float32).astype(np.float64).sum()
+    return np.float32((sf / (hi + lo).sum()) ** 2)
 
 _WT_CHUNK = 128
 _WT_WIN = 144  # fits radius-8 (17-tap) windows exactly: 127 + 8 + 8 + 1
@@ -159,6 +185,9 @@ def _vif_kernel(
     ntw: int,
     bsz: int,
     emit_ds: bool,
+    limb: bool = False,
+    kappa_a=None,
+    kappa_b=None,
 ):
     it = iter(refs)
     q12_hbm = next(it)  # (2, B, hp, wp) f32, mirror-filled halos
@@ -267,9 +296,89 @@ def _vif_kernel(
             for i in range(nq)
         ]
 
-    mu1, mu2, br2, bd2, brd = blur_group(
-        [a, b, a * a, b * b, a * b], hmat_a, wmat_a
-    )
+    def dotb(x, y):
+        return jax.lax.dot_general(
+            x, y, dims, preferred_element_type=jnp.float32
+        )
+
+    if limb:
+        a0, a1 = _split_bf16(a)
+        b0, b1 = _split_bf16(b)
+        av = a0.astype(jnp.float32) + a1.astype(jnp.float32)
+        bv = b0.astype(jnp.float32) + b1.astype(jnp.float32)
+
+    def blur_group_limb(hmat2, wmat2, kappa):
+        """Consistent-limb stats blur (see VIF_LIMB): values from their
+        exact 2-limb splits, products of the consistent values from exact
+        3-limb splits, 2-limb bf16 bands with the lo x lo terms dropped."""
+        pa0 = jnp.concatenate([a0, b0], axis=1)  # (rows, 2*cols) bf16
+        pa1 = jnp.concatenate([a1, b1], axis=1)
+        q3 = [_split3(q) for q in (av * av, bv * bv, av * bv)]
+        pb0 = jnp.concatenate([q[0] for q in q3], axis=1)  # (rows, 3*cols)
+        pb1 = jnp.concatenate([q[1] for q in q3], axis=1)
+        pb2 = jnp.concatenate([q[2] for q in q3], axis=1)
+        hm0, hm1 = hmat2[0], hmat2[1]
+        hch, hwin = hm0.shape
+
+        def hdot(s):
+            def slc(t, n):
+                return jax.lax.slice(t, (s, 0), (s + hwin, n * cols))
+
+            ha = (
+                dotb(hm0, slc(pa0, 2))
+                + dotb(hm0, slc(pa1, 2))
+                + dotb(hm1, slc(pa0, 2))
+            )
+            hb = (
+                dotb(hm0, slc(pb0, 3))
+                + dotb(hm0, slc(pb1, 3))
+                + dotb(hm0, slc(pb2, 3))
+                + dotb(hm1, slc(pb0, 3))
+            )
+            return ha, hb
+
+        if hch < tile_h:
+            parts = [hdot(ci * hch) for ci in range(tile_h // hch)]
+            ha = jnp.concatenate([p[0] for p in parts], axis=0)
+            hb = jnp.concatenate([p[1] for p in parts], axis=0)
+        else:
+            ha, hb = hdot(0)
+        segs = [
+            jax.lax.slice(ha, (0, i * cols), (tile_h, (i + 1) * cols))
+            for i in range(2)
+        ] + [
+            jax.lax.slice(hb, (0, i * cols), (tile_h, (i + 1) * cols))
+            for i in range(3)
+        ]
+        pt = jnp.concatenate(segs, axis=0).T  # (cols, 5*tile_h)
+        t0, t1, t2 = _split3(pt)
+        w0, w1 = wmat2[0], wmat2[1]
+        wch, wwin = w0.shape
+        chunks = []
+        for j in range(tile_w // wch):
+            s = j * wch + COL_HALO4 - 8
+
+            def sl(t, s=s):
+                return jax.lax.slice(t, (s, 0), (s + wwin, 5 * tile_h))
+
+            x0, x1, x2 = sl(t0), sl(t1), sl(t2)
+            chunks.append(
+                dotb(w0, x0) + dotb(w0, x1) + dotb(w0, x2) + dotb(w1, x0)
+            )
+        wt_nat = jnp.concatenate(chunks, axis=0).T * kappa
+        return [
+            jax.lax.slice(wt_nat, (i * tile_h, 0), ((i + 1) * tile_h, tile_w))
+            for i in range(5)
+        ]
+
+    if limb:
+        mu1, mu2, br2, bd2, brd = blur_group_limb(
+            hmat_a, wmat_a, jnp.float32(kappa_a)
+        )
+    else:
+        mu1, mu2, br2, bd2, brd = blur_group(
+            [a, b, a * a, b * b, a * b], hmat_a, wmat_a
+        )
 
     def blur_group_dec(qs, hmat, wmat):
         """Emission blur with the decimation FOLDED INTO THE BANDS: the H
@@ -314,13 +423,68 @@ def _vif_kernel(
             for i in range(nq)
         ]
 
+    def blur_group_dec_limb(hmat2, wmat2, kappa):
+        """Decimation-folded emission blur on the consistent limbs (bands
+        keep even output rows / columns; see blur_group_dec)."""
+        dh = tile_h // 2
+        pa0 = jnp.concatenate([a0, b0], axis=1)  # (rows, 2*cols) bf16
+        pa1 = jnp.concatenate([a1, b1], axis=1)
+        hm0, hm1 = hmat2[0], hmat2[1]
+        hch2, hwin = hm0.shape  # decimated: (hch//2, hch+16)
+        hch_ = 2 * hch2
+
+        def hdot(s):
+            def slc(t):
+                return jax.lax.slice(t, (s, 0), (s + hwin, 2 * cols))
+
+            return (
+                dotb(hm0, slc(pa0))
+                + dotb(hm0, slc(pa1))
+                + dotb(hm1, slc(pa0))
+            )
+
+        if hch_ < tile_h:
+            hp_ = jnp.concatenate(
+                [hdot(ci * hch_) for ci in range(tile_h // hch_)], axis=0
+            )  # (dh, 2*cols)
+        else:
+            hp_ = hdot(0)
+        segs = [
+            jax.lax.slice(hp_, (0, i * cols), (dh, (i + 1) * cols))
+            for i in range(2)
+        ]
+        pt = jnp.concatenate(segs, axis=0).T  # (cols, 2*dh)
+        t0, t1, t2 = _split3(pt)
+        w0, w1 = wmat2[0], wmat2[1]
+        wch2, wwin = w0.shape  # decimated: (wch//2, win)
+        wch_ = 2 * wch2
+        chunks = []
+        for j in range(tile_w // wch_):
+            s = j * wch_ + COL_HALO4 - 8
+
+            def sl(t, s=s):
+                return jax.lax.slice(t, (s, 0), (s + wwin, 2 * dh))
+
+            x0, x1, x2 = sl(t0), sl(t1), sl(t2)
+            chunks.append(
+                dotb(w0, x0) + dotb(w0, x1) + dotb(w0, x2) + dotb(w1, x0)
+            )
+        wt_nat = jnp.concatenate(chunks, axis=0).T * kappa  # (2*dh, tw//2)
+        return [
+            jax.lax.slice(wt_nat, (i * dh, 0), ((i + 1) * dh, tile_w // 2))
+            for i in range(2)
+        ]
+
     ds_copies = []
     if emit_ds:
         dh = tile_h // 2
         dw = tile_w // 2
         dh_p = _round_up(dh, 8)
         dw_p = _round_up(dw, 128)
-        ea, eb = blur_group_dec([a, b], hmat_b, wmat_b)  # (dh, dw) each
+        if limb:
+            ea, eb = blur_group_dec_limb(hmat_b, wmat_b, jnp.float32(kappa_b))
+        else:
+            ea, eb = blur_group_dec([a, b], hmat_b, wmat_b)  # (dh, dw) each
         h2, w2 = (h + 1) // 2, (w + 1) // 2
         rid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 0) + row0 // 2
         cid = jax.lax.broadcasted_iota(jnp.int32, (dh_p, dw_p), 1) + col0 // 2
@@ -400,14 +564,33 @@ def _vif_scale_pallas(
             return _band_matrix_h(hch, hch + 2 * ROW_HALO4, taps, ROW_HALO4 - r)
         return _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - r)
 
+    # Limbs only at scale 0: that's 75% of the pixels and the only scale
+    # whose input is integer-valued (exact data limbs).  At the tiny deep
+    # scales the win is negligible and the stats are guard-flip sensitive —
+    # s11 ~ EPS pixels jump discontinuously between num formulas, so a
+    # 1e-6-level summation-order difference there costs ~1e-3 of scale-3
+    # score on smooth content (measured at 96x128); scales 1-3 stay on the
+    # f32-exact HIGHEST dots (the fused tail kernel always is).
+    limb = VIF_LIMB and scale == 0
     hmat_a = _h_band(taps_a, r_a)
     wmat_a = _band_wt(taps_a, W_CHUNK, _W_WINS[W_CHUNK])
+    kappa_a = kappa_b = None
+    if limb:
+        kappa_a = _kappa2(taps_a)
+        hmat_a = _split_band_zs(lambda tp: _h_band(tp, r_a), taps_a)
+        wmat_a = _split_band_zs(
+            lambda tp: _band_wt(tp, W_CHUNK, _W_WINS[W_CHUNK]), taps_a
+        )
+
+    def _bspec(m):
+        n = m.ndim
+        return pl.BlockSpec(m.shape, lambda p, th, tw: (0,) * n)
 
     inputs = [q12, jnp.asarray(hmat_a), jnp.asarray(wmat_a)]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(hmat_a.shape, lambda p, th, tw: (0, 0)),
-        pl.BlockSpec(wmat_a.shape, lambda p, th, tw: (0, 0)),
+        _bspec(hmat_a),
+        _bspec(wmat_a),
     ]
     out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
     out_specs = [
@@ -426,10 +609,17 @@ def _vif_scale_pallas(
         # into the emission bands (see _vif_kernel.blur_group_dec).
         hmat_b = _h_band(taps_b, r_b)[0::2]
         wmat_b = _band_wt(taps_b, W_CHUNK, _W_WINS[W_CHUNK])[0::2]
-        in_specs.insert(3, pl.BlockSpec(hmat_b.shape, lambda p, th, tw: (0, 0)))
-        in_specs.insert(
-            4, pl.BlockSpec(wmat_b.shape, lambda p, th, tw: (0, 0))
-        )
+        if limb:
+            kappa_b = _kappa2(taps_b)
+            hmat_b = _split_band_zs(
+                lambda tp: _h_band(tp, r_b)[0::2], taps_b
+            )
+            wmat_b = _split_band_zs(
+                lambda tp: _band_wt(tp, W_CHUNK, _W_WINS[W_CHUNK])[0::2],
+                taps_b,
+            )
+        in_specs.insert(3, _bspec(hmat_b))
+        in_specs.insert(4, _bspec(wmat_b))
         inputs.insert(3, jnp.asarray(hmat_b))
         inputs.insert(4, jnp.asarray(wmat_b))
         hp2, wp2 = _vif_ds_hw(h, w)
@@ -449,6 +639,7 @@ def _vif_scale_pallas(
         _vif_kernel,
         h=h, w=w, tile_h=tile_h, tile_w=tile_w,
         nth=nth, ntw=ntw, bsz=bsz, emit_ds=emit_ds,
+        limb=limb, kappa_a=kappa_a, kappa_b=kappa_b,
     )
     outs = pl.pallas_call(
         kernel,

@@ -29,6 +29,7 @@ center only ever sees in-image samples.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,10 +46,31 @@ from turbo_metrics_tpu.ops.pallas.scale_stats import (
     _band_matrix_h,
     _band_matrix_wt,
     _round_up,
+    _split3,
+    _split_band_zs,
+    _split_bf16,
+    _tap_limbs_zs,
     ds_buffer_hw,
     pad_geom4,
     pad_to_layout4,
 )
+
+# Consistent-limb blurs instead of Precision.HIGHEST (the scale_stats mxuC
+# scheme; see ops/pallas/vif.py for the numeric argument): SSIM-family
+# inputs are 8-bit code values (level 0, in-kernel quantized or
+# pre-quantized) or their 2^-k-granular pool means (MS-SSIM levels), so the
+# 2-limb value split is exact and the 3-limb product split is exact to
+# level 3 (2^-24 rel at level 4, vs C2 = 58.5).  The zero-sum band limbs +
+# kappa keep the effective tap sum exact for both data limbs.  H pass
+# 72 -> 42 bf16 unit-dots per chunk, W pass 72 -> 48.
+WIN_LIMB = os.environ.get("TM_WIN_LIMB", "1") != "0"
+
+
+def _kappa_ssim() -> np.float32:
+    taps = tuple(float(t) for t in gaussian_window(11, 1.5))
+    hi, lo = _tap_limbs_zs(taps)
+    sf = np.asarray(taps, np.float32).astype(np.float64).sum()
+    return np.float32((sf / (hi + lo).sum()) ** 2)
 
 RADIUS = 5  # gaussian_window(11, 1.5)
 # Wang et al. stabilisers at 8-bit dynamic range (match ops/quality.py).
@@ -130,6 +152,8 @@ def _ssim_kernel(
     bsz: int,
     emit_ds: bool,
     quantize: bool,
+    limb: bool = False,
+    kappa=None,
 ):
     it = iter(refs)
     q12_hbm = next(it)  # (2, B, 3, hp, wp) f32 code values
@@ -226,42 +250,119 @@ def _ssim_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    # 4 blur quantities per channel (s11+s22 collapsed by linearity).
-    qs = []
-    for c in range(3):
-        a = jax.lax.slice(a3, (c, 0, 0), (c + 1, rows, cols))[0]
-        b = jax.lax.slice(b3, (c, 0, 0), (c + 1, rows, cols))[0]
-        qs += [a, b, a * a + b * b, a * b]
-
-    pack = jnp.concatenate(qs, axis=1)  # (rows, 12*cols)
-    hmatf = hmat[...]
-    hch, hwin = hmat.shape
-    if hch < tile_h:
-        # Chunked Toeplitz H pass: one (hch, hch+16) window serves every
-        # output-row chunk (same nonzero terms as the fat band).
-        hcs = []
-        for ci in range(tile_h // hch):
-            s = ci * hch
-            hcs.append(
-                doth(hmatf, jax.lax.slice(pack, (s, 0), (s + hwin, 12 * cols)))
-            )
-        hp_ = jnp.concatenate(hcs, axis=0)  # (tile_h, 12*cols)
-    else:
-        hp_ = doth(hmatf, pack)  # (tile_h, 12*cols)
-    segs = [
-        jax.lax.slice(hp_, (0, i * cols), (tile_h, (i + 1) * cols))
-        for i in range(12)
-    ]
-    pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*tile_h)
     nq = 12 * tile_h
-    wmatf = wmat[...]
-    wch, wwin = wmat.shape
-    chunks = []
-    for j in range(tile_w // wch):
-        s = j * wch + COL_HALO4 - 8
-        win = jax.lax.slice(pt, (s, 0), (s + wwin, nq))
-        chunks.append(doth(wmatf, win))
-    wt_nat = jnp.concatenate(chunks, axis=0).T  # (12*tile_h, tile_w)
+    wch, wwin = wmat.shape[-2], wmat.shape[-1]
+    if limb:
+        # Consistent-limb blurs (WIN_LIMB): exact 2-limb values, exact
+        # 3-limb products of the consistent values, zero-sum band limbs.
+        vals, prods = [], []
+        for c in range(3):
+            a = jax.lax.slice(a3, (c, 0, 0), (c + 1, rows, cols))[0]
+            b = jax.lax.slice(b3, (c, 0, 0), (c + 1, rows, cols))[0]
+            a0, a1 = _split_bf16(a)
+            b0, b1 = _split_bf16(b)
+            av = a0.astype(jnp.float32) + a1.astype(jnp.float32)
+            bv = b0.astype(jnp.float32) + b1.astype(jnp.float32)
+            vals += [(a0, a1), (b0, b1)]
+            prods += [av * av + bv * bv, av * bv]
+        pa0 = jnp.concatenate([v[0] for v in vals], axis=1)  # (rows, 6*cols)
+        pa1 = jnp.concatenate([v[1] for v in vals], axis=1)
+        q3 = [_split3(q) for q in prods]
+        pb0 = jnp.concatenate([q[0] for q in q3], axis=1)
+        pb1 = jnp.concatenate([q[1] for q in q3], axis=1)
+        pb2 = jnp.concatenate([q[2] for q in q3], axis=1)
+        hm0, hm1 = hmat[0], hmat[1]
+        hch, hwin = hm0.shape
+
+        def dotb(x, y):
+            return jax.lax.dot_general(
+                x, y, dims, preferred_element_type=jnp.float32
+            )
+
+        def hdot(s):
+            def slc(t):
+                return jax.lax.slice(t, (s, 0), (s + hwin, 6 * cols))
+
+            ha = (
+                dotb(hm0, slc(pa0))
+                + dotb(hm0, slc(pa1))
+                + dotb(hm1, slc(pa0))
+            )
+            hb = (
+                dotb(hm0, slc(pb0))
+                + dotb(hm0, slc(pb1))
+                + dotb(hm0, slc(pb2))
+                + dotb(hm1, slc(pb0))
+            )
+            return ha, hb
+
+        if hch < tile_h:
+            parts = [hdot(ci * hch) for ci in range(tile_h // hch)]
+            ha = jnp.concatenate([p[0] for p in parts], axis=0)
+            hb = jnp.concatenate([p[1] for p in parts], axis=0)
+        else:
+            ha, hb = hdot(0)
+        segs = []
+        for c in range(3):  # restore the [a, b, ss, s12]-per-channel order
+            segs += [
+                jax.lax.slice(ha, (0, (2 * c + i) * cols),
+                              (tile_h, (2 * c + i + 1) * cols))
+                for i in range(2)
+            ] + [
+                jax.lax.slice(hb, (0, (2 * c + i) * cols),
+                              (tile_h, (2 * c + i + 1) * cols))
+                for i in range(2)
+            ]
+        pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*tile_h)
+        t0, t1, t2 = _split3(pt)
+        w0, w1 = wmat[0], wmat[1]
+        chunks = []
+        for j in range(tile_w // wch):
+            s = j * wch + COL_HALO4 - 8
+
+            def sl(t, s=s):
+                return jax.lax.slice(t, (s, 0), (s + wwin, nq))
+
+            x0, x1, x2 = sl(t0), sl(t1), sl(t2)
+            chunks.append(
+                dotb(w0, x0) + dotb(w0, x1) + dotb(w0, x2) + dotb(w1, x0)
+            )
+        wt_nat = jnp.concatenate(chunks, axis=0).T * jnp.float32(kappa)
+    else:
+        # 4 blur quantities per channel (s11+s22 collapsed by linearity).
+        qs = []
+        for c in range(3):
+            a = jax.lax.slice(a3, (c, 0, 0), (c + 1, rows, cols))[0]
+            b = jax.lax.slice(b3, (c, 0, 0), (c + 1, rows, cols))[0]
+            qs += [a, b, a * a + b * b, a * b]
+
+        pack = jnp.concatenate(qs, axis=1)  # (rows, 12*cols)
+        hmatf = hmat[...]
+        hch, hwin = hmat.shape
+        if hch < tile_h:
+            # Chunked Toeplitz H pass: one (hch, hch+16) window serves every
+            # output-row chunk (same nonzero terms as the fat band).
+            hcs = []
+            for ci in range(tile_h // hch):
+                s = ci * hch
+                hcs.append(
+                    doth(hmatf, jax.lax.slice(pack, (s, 0), (s + hwin, 12 * cols)))
+                )
+            hp_ = jnp.concatenate(hcs, axis=0)  # (tile_h, 12*cols)
+        else:
+            hp_ = doth(hmatf, pack)  # (tile_h, 12*cols)
+        segs = [
+            jax.lax.slice(hp_, (0, i * cols), (tile_h, (i + 1) * cols))
+            for i in range(12)
+        ]
+        pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*tile_h)
+        wmatf = wmat[...]
+        chunks = []
+        for j in range(tile_w // wch):
+            s = j * wch + COL_HALO4 - 8
+            win = jax.lax.slice(pt, (s, 0), (s + wwin, nq))
+            chunks.append(doth(wmatf, win))
+        wt_nat = jnp.concatenate(chunks, axis=0).T  # (12*tile_h, tile_w)
 
     def bq(i):
         return jax.lax.slice(
@@ -329,17 +430,33 @@ def ssim_sums_pallas(
     hch = H_CHUNK if h_chunk is None else h_chunk
     wch = W_CHUNK if w_chunk is None else w_chunk
     if hch and tile_h % hch == 0 and tile_h > hch:
-        hmat = _band_matrix_h(hch, hch + 2 * ROW_HALO4, taps, ROW_HALO4 - RADIUS)
+        def _hbuild(tp):
+            return _band_matrix_h(
+                hch, hch + 2 * ROW_HALO4, tp, ROW_HALO4 - RADIUS
+            )
     else:
-        hmat = _band_matrix_h(tile_h, rows, taps, ROW_HALO4 - RADIUS)
+        def _hbuild(tp):
+            return _band_matrix_h(tile_h, rows, tp, ROW_HALO4 - RADIUS)
+
     wwin = _W_WINS[wch]
-    wmat = _band_matrix_wt(taps, wch, wwin)
+    limb = WIN_LIMB
+    kappa = _kappa_ssim() if limb else None
+    if limb:
+        hmat = _split_band_zs(_hbuild, taps)
+        wmat = _split_band_zs(lambda tp: _band_matrix_wt(tp, wch, wwin), taps)
+    else:
+        hmat = _hbuild(taps)
+        wmat = _band_matrix_wt(taps, wch, wwin)
+
+    def _bspec(m):
+        n = m.ndim
+        return pl.BlockSpec(m.shape, lambda p, th, tw: (0,) * n)
 
     inputs = [q12, jnp.asarray(hmat), jnp.asarray(wmat)]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(hmat.shape, lambda p, th, tw: (0, 0)),
-        pl.BlockSpec(wmat.shape, lambda p, th, tw: (0, 0)),
+        _bspec(hmat),
+        _bspec(wmat),
     ]
     out_shapes = [jax.ShapeDtypeStruct((bsz, nth, ntw, 8, 8), jnp.float32)]
     out_specs = [
@@ -384,6 +501,7 @@ def ssim_sums_pallas(
         _ssim_kernel,
         h=h, w=w, tile_h=tile_h, tile_w=tile_w,
         nth=nth, ntw=ntw, bsz=bsz, emit_ds=emit_ds, quantize=quantize,
+        limb=limb, kappa=kappa,
     )
     outs = pl.pallas_call(
         kernel,

@@ -38,6 +38,9 @@ from turbo_metrics_tpu.ops.pallas.scale_stats import (
     _band_matrix_wt,
     _pair_sum_cols,
     _round_up,
+    _split3,
+    _split_band_zs,
+    _split_bf16,
 )
 from turbo_metrics_tpu.ops.pallas.windowed import _C1, _C2, RADIUS
 
@@ -83,6 +86,8 @@ def _msssim_tail_kernel(
     *,
     dims,
     bsz: int,
+    limb: bool = False,
+    kappa=None,
 ):
     p = pl.program_id(0)
 
@@ -130,6 +135,11 @@ def _msssim_tail_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    def dotb(x, y):
+        return jax.lax.dot_general(
+            x, y, dims_dot, preferred_element_type=jnp.float32
+        )
+
     hmat = hmat_ref[...]
     wmat = wmat_ref[...]
     two = jnp.float32(2.0)
@@ -149,7 +159,7 @@ def _msssim_tail_kernel(
                       h2=dims[li + 1][0] if emit else 0,
                       w2=dims[li + 1][1] if emit else 0):
             cols = COL_HALO4 + wpad + COL_HALO4
-            r0 = t * _TH
+            r0 = pl.multiple_of(t * _TH, _TH)
             if li == 0:
                 a3 = t1[slot, :, pl.ds(r0, _TH + 16), pl.ds(0, cols)]
                 b3 = t2[slot, :, pl.ds(r0, _TH + 16), pl.ds(0, cols)]
@@ -157,39 +167,120 @@ def _msssim_tail_kernel(
                 src = planes[li][0]
                 a3 = src[0, :, pl.ds(r0, _TH + 16), pl.ds(0, cols)]
                 b3 = src[1, :, pl.ds(r0, _TH + 16), pl.ds(0, cols)]
-            qs = []
-            for c in range(3):
-                a = jax.lax.slice(a3, (c, 0, 0), (c + 1, _TH + 16, cols))[0]
-                b = jax.lax.slice(b3, (c, 0, 0), (c + 1, _TH + 16, cols))[0]
-                qs += [a, b, a * a + b * b, a * b]
-            pack = jnp.concatenate(qs, axis=1)  # (80, 12*cols)
-            hch, hwin = hmat.shape
-            if hch < _TH:
-                # Chunked Toeplitz H window (see windowed.py H_CHUNK).
-                hcs = []
-                for ci in range(_TH // hch):
-                    s = ci * hch
-                    hcs.append(
-                        doth(
-                            hmat,
-                            jax.lax.slice(pack, (s, 0), (s + hwin, 12 * cols)),
-                        )
+            if limb:
+                # Consistent-limb blurs (windowed.WIN_LIMB; pool means are
+                # 2^-k-granular code values, exact 2-limb splits).
+                vals, prods = [], []
+                for c in range(3):
+                    a = jax.lax.slice(
+                        a3, (c, 0, 0), (c + 1, _TH + 16, cols))[0]
+                    b = jax.lax.slice(
+                        b3, (c, 0, 0), (c + 1, _TH + 16, cols))[0]
+                    a0, a1 = _split_bf16(a)
+                    b0, b1 = _split_bf16(b)
+                    av = a0.astype(jnp.float32) + a1.astype(jnp.float32)
+                    bv = b0.astype(jnp.float32) + b1.astype(jnp.float32)
+                    vals += [(a0, a1), (b0, b1)]
+                    prods += [av * av + bv * bv, av * bv]
+                pa0 = jnp.concatenate([v[0] for v in vals], axis=1)
+                pa1 = jnp.concatenate([v[1] for v in vals], axis=1)
+                q3_ = [_split3(q) for q in prods]
+                pb0 = jnp.concatenate([q[0] for q in q3_], axis=1)
+                pb1 = jnp.concatenate([q[1] for q in q3_], axis=1)
+                pb2 = jnp.concatenate([q[2] for q in q3_], axis=1)
+                hm0, hm1 = hmat[0], hmat[1]
+                hch, hwin = hm0.shape
+
+                def hdot(s):
+                    def slc(t):
+                        return jax.lax.slice(t, (s, 0), (s + hwin, 6 * cols))
+
+                    ha_ = (
+                        dotb(hm0, slc(pa0))
+                        + dotb(hm0, slc(pa1))
+                        + dotb(hm1, slc(pa0))
                     )
-                hp_ = jnp.concatenate(hcs, axis=0)  # (64, 12*cols)
+                    hb_ = (
+                        dotb(hm0, slc(pb0))
+                        + dotb(hm0, slc(pb1))
+                        + dotb(hm0, slc(pb2))
+                        + dotb(hm1, slc(pb0))
+                    )
+                    return ha_, hb_
+
+                if hch < _TH:
+                    parts = [hdot(ci * hch) for ci in range(_TH // hch)]
+                    ha = jnp.concatenate([p[0] for p in parts], axis=0)
+                    hb = jnp.concatenate([p[1] for p in parts], axis=0)
+                else:
+                    ha, hb = hdot(0)
+                segs = []
+                for c in range(3):
+                    segs += [
+                        jax.lax.slice(ha, (0, (2 * c + i) * cols),
+                                      (_TH, (2 * c + i + 1) * cols))
+                        for i in range(2)
+                    ] + [
+                        jax.lax.slice(hb, (0, (2 * c + i) * cols),
+                                      (_TH, (2 * c + i + 1) * cols))
+                        for i in range(2)
+                    ]
+                pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*64)
+                t0_, t1_, t2_ = _split3(pt)
+                w0, w1 = wmat[0], wmat[1]
+                wch, wwin = w0.shape
+                chunks = []
+                for q in range(wpad // wch):
+                    s = q * wch + COL_HALO4 - 8
+
+                    def sl(t, s=s):
+                        return jax.lax.slice(t, (s, 0), (s + wwin, 12 * _TH))
+
+                    x0, x1, x2 = sl(t0_), sl(t1_), sl(t2_)
+                    chunks.append(
+                        dotb(w0, x0) + dotb(w0, x1)
+                        + dotb(w0, x2) + dotb(w1, x0)
+                    )
+                wt = (
+                    jnp.concatenate(chunks, axis=0).T * jnp.float32(kappa)
+                )  # (12*64, wpad)
             else:
-                hp_ = doth(hmat, pack)  # (64, 12*cols)
-            segs = [
-                jax.lax.slice(hp_, (0, i * cols), (_TH, (i + 1) * cols))
-                for i in range(12)
-            ]
-            pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*64)
-            wch, wwin = wmat.shape
-            chunks = []
-            for q in range(wpad // wch):
-                s = q * wch + COL_HALO4 - 8
-                win = jax.lax.slice(pt, (s, 0), (s + wwin, 12 * _TH))
-                chunks.append(doth(wmat, win))
-            wt = jnp.concatenate(chunks, axis=0).T  # (12*64, wpad)
+                qs = []
+                for c in range(3):
+                    a = jax.lax.slice(
+                        a3, (c, 0, 0), (c + 1, _TH + 16, cols))[0]
+                    b = jax.lax.slice(
+                        b3, (c, 0, 0), (c + 1, _TH + 16, cols))[0]
+                    qs += [a, b, a * a + b * b, a * b]
+                pack = jnp.concatenate(qs, axis=1)  # (80, 12*cols)
+                hch, hwin = hmat.shape
+                if hch < _TH:
+                    # Chunked Toeplitz H window (see windowed.py H_CHUNK).
+                    hcs = []
+                    for ci in range(_TH // hch):
+                        s = ci * hch
+                        hcs.append(
+                            doth(
+                                hmat,
+                                jax.lax.slice(
+                                    pack, (s, 0), (s + hwin, 12 * cols)),
+                            )
+                        )
+                    hp_ = jnp.concatenate(hcs, axis=0)  # (64, 12*cols)
+                else:
+                    hp_ = doth(hmat, pack)  # (64, 12*cols)
+                segs = [
+                    jax.lax.slice(hp_, (0, i * cols), (_TH, (i + 1) * cols))
+                    for i in range(12)
+                ]
+                pt = jnp.concatenate(segs, axis=0).T  # (cols, 12*64)
+                wch, wwin = wmat.shape
+                chunks = []
+                for q in range(wpad // wch):
+                    s = q * wch + COL_HALO4 - 8
+                    win = jax.lax.slice(pt, (s, 0), (s + wwin, 12 * _TH))
+                    chunks.append(doth(wmat, win))
+                wt = jnp.concatenate(chunks, axis=0).T  # (12*64, wpad)
 
             def bq(i, _wt=wt, _wpad=wpad):
                 return jax.lax.slice(
@@ -248,9 +339,13 @@ def _msssim_tail_kernel(
                         quad = jax.lax.slice(
                             quad_all, (slot_ * dh, 0), (slot_ * dh + dh, dwp)
                         )
+                        # r0//2 = 32*t and ROW_HALO4 = 8, but Mosaic cannot
+                        # prove 8-alignment through the div when t is the
+                        # fori_loop carry — hint it (on-chip compile failure
+                        # otherwise: "index in dimension 2" job 202).
                         nxt[
                             img_idx, c,
-                            pl.ds(ROW_HALO4 + r0 // 2, dh),
+                            pl.ds(pl.multiple_of(ROW_HALO4 + r0 // 2, 8), dh),
                             pl.ds(COL_HALO4, dwp),
                         ] = quad * quarter * keep
             return tuple(accs)
@@ -294,9 +389,15 @@ def msssim_tail_pallas(
     from turbo_metrics_tpu.ops.pallas import windowed as _wd
 
     hch = _wd.H_CHUNK if _wd.H_CHUNK and _TH % _wd.H_CHUNK == 0 else _TH
-    hmat = _band_matrix_h(
-        min(hch, _TH), min(hch, _TH) + 16, taps, ROW_HALO4 - RADIUS
-    )
+
+    def _hbuild(tp):
+        return _band_matrix_h(
+            min(hch, _TH), min(hch, _TH) + 16, tp, ROW_HALO4 - RADIUS
+        )
+
+    limb = _wd.WIN_LIMB
+    kappa = _wd._kappa_ssim() if limb else None
+    hmat = _split_band_zs(_hbuild, taps) if limb else _hbuild(taps)
     # W band: under the round-4 fully-unrolled program this was pinned at
     # the 128-chunk band (64-chunks doubled the unrolled matmul count and
     # blew Mosaic's register allocator — 207 MB of spill slots, on-chip
@@ -305,7 +406,12 @@ def msssim_tail_pallas(
     # windowed.W_CHUNK so A/B jobs can sweep it independently.
     # (wpad is 256-aligned at every level, so any chunk in _W_WINS divides.)
     wch = TAIL_W_CHUNK if TAIL_W_CHUNK in _W_WINS else _WT_CHUNK
-    wmat = _band_matrix_wt(taps, wch, _W_WINS[wch])
+    if limb:
+        wmat = _split_band_zs(
+            lambda tp: _band_matrix_wt(tp, wch, _W_WINS[wch]), taps
+        )
+    else:
+        wmat = _band_matrix_wt(taps, wch, _W_WINS[wch])
 
     scratch = [
         pltpu.VMEM((2, 3, rows1, cols1), jnp.float32),
@@ -319,7 +425,7 @@ def msssim_tail_pallas(
         scratch.append(None)
 
     kernel = functools.partial(
-        _msssim_tail_kernel, dims=dims, bsz=bsz,
+        _msssim_tail_kernel, dims=dims, bsz=bsz, limb=limb, kappa=kappa,
     )
 
     def _k(q12_hbm, hm, wm, out_ref, t1, t2, *rest):
@@ -335,8 +441,8 @@ def msssim_tail_pallas(
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(hmat.shape, lambda p: (0, 0)),
-            pl.BlockSpec(wmat.shape, lambda p: (0, 0)),
+            pl.BlockSpec(hmat.shape, lambda p: (0,) * hmat.ndim),
+            pl.BlockSpec(wmat.shape, lambda p: (0,) * wmat.ndim),
         ],
         out_specs=pl.BlockSpec((1, levels, 3, 8), lambda p: (p, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, levels, 3, 8), jnp.float32),
