@@ -39,7 +39,7 @@ from turbo_metrics_tpu.ops.pallas.scale_stats import (
     _mxuc_w_band,
     _pair_sum_cols,
     _round_up,
-    _split_bf16_np,
+    _split_band_zs,
     _tapsum_kappa,
 )
 
@@ -257,8 +257,11 @@ def fused_pyramid_tail_pallas(
     # a fraction of the fat bands' MACs — the round-3 sweep that took the
     # scale-0 kernel from 10.5 to 9.1 ms/b8 (docs/PERFORMANCE.md); level
     # widths are 256-aligned (tail2_ok) so the 64-chunk W loop divides.
-    hmat2 = _split_bf16_np(
-        _band_matrix_h(16, 32, taps, ROW_HALO4 - RADIUS)
+    # Zero-sum limbs (scale_stats._tap_limbs_zs) so the H band matches
+    # _tapsum_kappa's limb sums and the BAND_LOLO-dropped cross terms stay
+    # bias-free (the W band gets them via _mxuc_w_band).
+    hmat2 = _split_band_zs(
+        lambda tp: _band_matrix_h(16, 32, tp, ROW_HALO4 - RADIUS), taps
     )
     wt2 = _mxuc_w_band(taps, "t64")
     kappa = _tapsum_kappa(taps)
