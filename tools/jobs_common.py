@@ -16,41 +16,47 @@ import numpy as np
 H, W = 1080, 1920
 
 
-def make_yuv(batch: int, seed: int = 0):
+def make_yuv(batch: int, seed: int = 0, h: int = None, w: int = None):
+    h, w = h or H, w or W
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:H, 0:W]
+    yy, xx = np.mgrid[0:h, 0:w]
     base = (128 + 64 * np.sin(xx / 37.0) * np.cos(yy / 23.0)).astype(np.uint8)
     y_ref = np.stack([np.roll(base, 7 * i, axis=1) for i in range(batch)])
-    uv_ref = rng.integers(100, 156, (batch, H // 2, W // 2, 2), dtype=np.uint8)
+    uv_ref = rng.integers(100, 156, (batch, h // 2, w // 2, 2), dtype=np.uint8)
     y_dis = np.clip(
         y_ref.astype(np.int16) + rng.integers(-6, 7, y_ref.shape), 0, 255
     ).astype(np.uint8)
     return y_ref, uv_ref, y_dis, uv_ref
 
 
-def stage_padded(batch: int, shift: int = 0, seed: int = 0):
+def stage_padded(batch: int, shift: int = 0, seed: int = 0,
+                 h: int = None, w: int = None):
     import jax
 
     from turbo_metrics_tpu.ops.pallas.scale_stats import pad_yuv_planes
 
-    y_ref, uv_ref, y_dis, uv_dis = make_yuv(batch, seed)
+    h, w = h or H, w or W
+    y_ref, uv_ref, y_dis, uv_dis = make_yuv(batch, seed, h, w)
     if shift:
         y_ref = np.roll(y_ref, shift, axis=2)
         y_dis = np.roll(y_dis, shift, axis=2)
-    planes = pad_yuv_planes(np.stack([y_ref, y_dis]), np.stack([uv_ref, uv_dis]), H, W)
+    planes = pad_yuv_planes(np.stack([y_ref, y_dis]), np.stack([uv_ref, uv_dis]), h, w)
     out = tuple(jax.device_put(a) for a in planes)
     jax.block_until_ready(out)
     return out
 
 
 def time_from_yuv(batch=8, iters=24, reps=3, use_tail2=None, label="",
-                  **kernel_kwargs):
+                  h=None, w=None, **kernel_kwargs):
     """ms/batch for the full pipeline (conversion-fused scale 0 + chain),
-    ds buffers donated+threaded like bench.py.  Returns (ms, subscores0)."""
+    ds buffers donated+threaded like bench.py.  Returns (ms, subscores0).
+    ``h``/``w`` override the 1080p default (4K sweeps)."""
     import jax
     import jax.numpy as jnp
 
     import turbo_metrics_tpu.models.ssimulacra2 as m
+
+    H_, W_ = h or H, w or W
 
     old_tail2 = m.USE_TAIL2
     if use_tail2 is not None:
@@ -58,21 +64,21 @@ def time_from_yuv(batch=8, iters=24, reps=3, use_tail2=None, label="",
     try:
         from turbo_metrics_tpu.ops.downscale import scale_dims
 
-        num_scales = len(scale_dims(H, W))
+        num_scales = len(scale_dims(H_, W_))
 
         def step(planes, ds_bufs):
             return m.ssimulacra2_subscores_from_yuv(
-                None, None, H, W, num_scales=num_scales, ds_bufs=ds_bufs,
+                None, None, H_, W_, num_scales=num_scales, ds_bufs=ds_bufs,
                 padded_planes=planes, **kernel_kwargs,
             )
 
         fn = jax.jit(step, donate_argnums=(1,))
         shapes = m.ds_buffer_shapes_yuv(
-            H, W, batch, num_scales=num_scales,
+            H_, W_, batch, num_scales=num_scales,
             kernel_kwargs=kernel_kwargs or None,
         )
         ds = [jnp.zeros(s, jnp.float32) for s in shapes]
-        sets = [stage_padded(batch, shift) for shift in (0, 3)]
+        sets = [stage_padded(batch, shift, 0, H_, W_) for shift in (0, 3)]
         sub, ds = fn(sets[0], ds)
         jax.block_until_ready(sub)
         sub0 = np.asarray(sub, dtype=np.float64)
@@ -87,7 +93,7 @@ def time_from_yuv(batch=8, iters=24, reps=3, use_tail2=None, label="",
         ms = best * 1e3
         fps = batch / best
         print(f"{label or 'run'}: {ms:.2f} ms/b{batch} = {fps:.0f} fps "
-              f"({fps * H * W / 1e6:.0f} Mpx/s)", flush=True)
+              f"({fps * H_ * W_ / 1e6:.0f} Mpx/s)", flush=True)
         return ms, sub0
     finally:
         m.USE_TAIL2 = old_tail2
@@ -170,7 +176,17 @@ def time_multi(batch=8, iters=12, reps=3, label="", metrics=None,
 
     out = step(ref_arrays, dis_arrays, aux)
     jax.block_until_ready(out)
-    out0 = {k: np.asarray(v, dtype=np.float64) for k, v in out.items()}
+
+    def _flat(d, prefix=""):
+        flat = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                flat.update(_flat(v, prefix + str(k) + "."))
+            elif hasattr(v, "shape"):
+                flat[prefix + str(k)] = np.asarray(v, dtype=np.float64)
+        return flat
+
+    out0 = _flat(out)
     import time as _t
 
     best = 1e9

@@ -160,6 +160,10 @@ ROW_HALO4 = 8
 COL_HALO4 = 128
 TILE_H4 = 64
 TILE_W4 = 1024
+# Multi-tile widths may exceed TILE_W4 up to this bound when 256-aligned
+# (see pad_geom4's cost search); sweepable for geometry A/B jobs.  Default
+# pinned to TILE_W4 (no change) until the 4K sweep measures the win.
+TILE_W4_OVER = int(os.environ.get("TM_TILE_W4_OVER", "1024"))
 
 
 def pad_geom4(h: int, w: int) -> tuple[int, int, int, int, int, int]:
@@ -187,7 +191,15 @@ def pad_geom4(h: int, w: int) -> tuple[int, int, int, int, int, int]:
         for n in range(2, -(-w // 128) + 1):
             t = _round_up(-(-w // n), 128)
             if t > TILE_W4:
-                continue
+                # The 720p exception, multi-tile form: allow a 256-aligned
+                # tile up to TILE_W4_OVER (1280 default) when it cuts the
+                # total processed columns — at 3840 the 3x1280 grid costs
+                # 4608 columns vs 4x960's 4864 AND keeps the 256-alignment
+                # the fused-YUV producer and emit DMAs want (round-5 4K
+                # sweep; TM_TILE_W4_OVER=1024 restores the old grid).
+                t = _round_up(-(-w // n), 256)
+                if t > TILE_W4_OVER or t % 256:
+                    continue
             cost = n * (t + 2 * COL_HALO4)
             if best is None or cost < best[0]:
                 best = (cost, t, n)
