@@ -157,9 +157,13 @@ def _mask_filter(x: jax.Array) -> jax.Array:
 def default_backend() -> str:
     # Measured on TPU v5e (1080p b8, within-run A/B): XLA fuses the jnp DWT
     # chain to 6.69 ms vs the Pallas kernels' 8.17 — the stride-2 DWT
-    # matmuls don't amortize the kernel's serial tile loop.  jnp is the
-    # default on every platform; the Pallas path stays available via
-    # backend='pallas'.
+    # matmuls don't amortize the kernel's serial tile loop.  Re-measured
+    # in-step at the round-5 baseline (job 208): Pallas costs the
+    # multi-metric step 33.23 vs jnp's 31.09 ms/b8 — a fused ADM kernel
+    # serialises work XLA otherwise overlaps under the other families'
+    # Pallas launches.  Parked: jnp is the default on every platform; the
+    # Pallas path stays importable for geometry experiments only (and has
+    # NOT been re-based on the round-5 shared band-limb scheme).
     return "jnp"
 
 

@@ -162,8 +162,10 @@ TILE_H4 = 64
 TILE_W4 = 1024
 # Multi-tile widths may exceed TILE_W4 up to this bound when 256-aligned
 # (see pad_geom4's cost search); sweepable for geometry A/B jobs.  Default
-# pinned to TILE_W4 (no change) until the 4K sweep measures the win.
-TILE_W4_OVER = int(os.environ.get("TM_TILE_W4_OVER", "1024"))
+# 1280: at 3840 the 3x1280 grid measured 30.11 vs 4x960's 32.28 ms/b8
+# (2204 vs 2056 Mpx/s, score delta 1.7e-6; round-5 job 207) — fewer total
+# processed columns and emit DMAs that keep 256-lane alignment.
+TILE_W4_OVER = int(os.environ.get("TM_TILE_W4_OVER", "1280"))
 
 
 def pad_geom4(h: int, w: int) -> tuple[int, int, int, int, int, int]:
