@@ -73,17 +73,17 @@ def test_identical_y4m_psnr_inf(tmp_path, rng):
 
 
 def test_default_batch_metrics_aware():
-    """default_batch follows the measured job-114 ladder: lean flagship
-    composition caps at 96, multi-metric at 48, both HBM-bounded."""
+    """default_batch follows the measured ladders: lean flagship caps at
+    96 (job 114, rising); multi-metric at 8 (job 210, falling)."""
     from turbo_metrics_tpu.engine import Metrics, default_batch
 
     s2 = Metrics(ssimulacra2=True)
     multi = Metrics(ssimulacra2=True, psnr=True)
     assert default_batch(1920, 1080, s2) == 96
-    assert default_batch(1920, 1080, multi) < 48  # HBM model bound
+    assert default_batch(1920, 1080, multi) == 8  # measured optimum
     assert default_batch(1920, 1080) == default_batch(1920, 1080, multi)
     assert default_batch(3840, 2160, s2) <= 96  # 4K HBM-bounded
-    assert default_batch(720, 576, multi) == 48
+    assert default_batch(720, 576, multi) == 8
     assert default_batch(64, 48, s2) == 96
 
 

@@ -1144,7 +1144,12 @@ def default_batch(
     938 / 959 / 979 fps at b24/32/48/64/96, both pass orders agreeing —
     so cap at the measured optimum 96 inside an 8 GiB budget.
     Multi-metric runs carry the padded linear-RGB pair, MS-SSIM emit and
-    ds buffers (~160 bytes/pixel/pair incl. XLA slack): cap 48.
+    ds buffers (~160 bytes/pixel/pair incl. XLA slack) and, unlike the
+    flagship, their per-frame throughput FALLS with batch — the round-5
+    job-210 ladder measured 257/244/239 fps at b8/b24/b48 (1080p,
+    device-resident) — so the cap is the measured optimum 8.  On a
+    high-latency host link the per-batch result fetch (~28 ms through
+    the dev tunnel) may favor a larger ``batch=`` explicitly.
     ``metrics=None`` (unknown composition) uses the conservative model.
     """
     only_s2 = (
@@ -1158,7 +1163,7 @@ def default_batch(
             or metrics.vmaf
         )
     )
-    per_px, cap = (32, 96) if only_s2 else (160, 48)
+    per_px, cap = (32, 96) if only_s2 else (160, 8)
     per_pair = per_px * width * height
     budget = 8 << 30
     return int(np.clip(budget // max(per_pair, 1), 1, cap))
